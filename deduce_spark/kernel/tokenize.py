@@ -1,0 +1,145 @@
+"""Tokenizer: regex split + greedy phrase merge.
+
+Semantics (reference deduce/tokenizer.py:6,31-136; pinned by reference
+tests/unit/test_tokenizer.py:24-98):
+
+- tokens are the matches of ``\\w+|[\\n\\r\\t]| {4,}|[^ ]`` (case-insensitive,
+  multiline, ``regex`` package \\w semantics): words, a single
+  newline/tab/CR, a run of >=4 spaces, or any single non-space char.
+  Runs of 1-3 spaces yield no token.
+- optional merge pass: greedy left-to-right; wherever the token text is the
+  first word of a merge phrase, the longest phrase whose words match the
+  following token texts exactly is collapsed into one token whose text is
+  the original char span.
+
+Representation is array-based (no linked lists): a token is a ``Tok``
+(text, start, end) and navigation is by index.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, NamedTuple, Optional, Sequence
+
+try:  # the reference depends on the `regex` package's \w semantics
+    import regex as _re
+    _SPLIT_RE = _re.compile(r"\w+|[\n\r\t]| {4,}|[^ ]", flags=_re.I | _re.M)
+except ImportError:  # pragma: no cover - fallback, near-identical for our data
+    import re as _re
+    _SPLIT_RE = _re.compile(r"\w+|[\n\r\t]| {4,}|[^ ]", flags=_re.I | _re.M)
+
+
+class Tok(NamedTuple):
+    text: str
+    start: int
+    end: int
+
+
+class PhraseSet:
+    """Multi-word phrase dictionary with longest-prefix matching.
+
+    Flat layout instead of a pointer trie: ``first word -> suffix tuples
+    sorted longest-first``.  Equivalent to the reference's LookupTrie
+    ``longest_matching_prefix`` (reference deduce/tokenizer.py:88-96,
+    deduce/utils.py:261-280) but O(1)-gated on the first word and
+    memory-lean enough to broadcast at full dictionary scale.
+
+    ``norm`` is an optional per-word normalizer applied both at build and at
+    match time (the trie's matching_pipeline, e.g. lowercase for hospitals,
+    reference deduce/lookup_struct_loader.py:208).
+    """
+
+    __slots__ = ("by_first", "norm", "max_len")
+
+    def __init__(self, norm=None) -> None:
+        self.by_first: dict[str, list[tuple[str, ...]]] = {}
+        self.norm = norm
+        self.max_len = 0
+
+    def add(self, words: Sequence[str]) -> None:
+        if not words:
+            return
+        if self.norm is not None:
+            words = [self.norm(w) for w in words]
+        key = words[0]
+        suffix = tuple(words[1:])
+        bucket = self.by_first.setdefault(key, [])
+        if suffix not in bucket:
+            bucket.append(suffix)
+            bucket.sort(key=len, reverse=True)
+        self.max_len = max(self.max_len, len(words))
+
+    def __len__(self) -> int:
+        return sum(len(v) for v in self.by_first.values())
+
+    def longest_match(self, words: Sequence[str], i: int) -> Optional[int]:
+        """Length (in words) of the longest phrase matching words[i:], or None."""
+        w = words[i] if self.norm is None else self.norm(words[i])
+        bucket = self.by_first.get(w)
+        if bucket is None:
+            return None
+        n = len(words)
+        norm = self.norm
+        for suffix in bucket:  # longest first
+            ls = len(suffix)
+            if i + 1 + ls > n:  # not enough tokens left
+                continue
+            ok = True
+            for k in range(ls):
+                nxt = words[i + 1 + k]
+                if norm is not None:
+                    nxt = norm(nxt)
+                if nxt != suffix[k]:
+                    ok = False
+                    break
+            if ok:
+                return ls + 1
+        return None
+
+
+class Tokenizer:
+    """Split + merge tokenizer (reference DeduceTokenizer)."""
+
+    def __init__(self, merge_terms: Optional[Iterable[str]] = None) -> None:
+        self._phrases: Optional[PhraseSet] = None
+        if merge_terms is not None:
+            phrases = PhraseSet()
+            for term in merge_terms:
+                words = [t.text for t in self.split(term)]
+                if words:
+                    phrases.add(words)
+            self._phrases = phrases
+
+    @staticmethod
+    def split(text: str) -> list[Tok]:
+        return [
+            Tok(m.group(0), m.start(), m.end()) for m in _SPLIT_RE.finditer(text)
+        ]
+
+    def tokenize(self, text: str) -> list[Tok]:
+        toks = self.split(text)
+        if self._phrases is None or not toks:
+            return toks
+        return self._merge(text, toks)
+
+    def _merge(self, text: str, toks: list[Tok]) -> list[Tok]:
+        words = [t.text for t in toks]
+        out: list[Tok] = []
+        i = 0
+        n = len(toks)
+        phrases = self._phrases
+        by_first = phrases.by_first
+        while i < n:
+            if words[i] not in by_first:
+                out.append(toks[i])
+                i += 1
+                continue
+            m = phrases.longest_match(words, i)
+            if m is None or m == 1:
+                # single-word phrase still merges to itself; emit as-is
+                out.append(toks[i])
+                i += 1 if m is None else m
+            else:
+                first, last = toks[i], toks[i + m - 1]
+                out.append(Tok(text[first.start : last.end], first.start, last.end))
+                i += m
+        return out
