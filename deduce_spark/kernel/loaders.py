@@ -42,6 +42,7 @@ def _to_phrases(
         words = [t.text for t in tokenizer.tokenize(item)]
         if words:
             ps.add(words)
+    ps.freeze()
     return ps
 
 

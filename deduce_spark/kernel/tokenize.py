@@ -48,31 +48,46 @@ class PhraseSet:
     reference deduce/lookup_struct_loader.py:208).
     """
 
-    __slots__ = ("by_first", "norm", "max_len")
+    __slots__ = ("by_first", "norm", "max_len", "_dirty")
 
     def __init__(self, norm=None) -> None:
-        self.by_first: dict[str, list[tuple[str, ...]]] = {}
+        # first word -> suffix tuples; kept as a set while building, turned
+        # into a longest-first list on first lookup (insert-heavy build at
+        # dictionary scale, read-heavy afterwards)
+        self.by_first: dict[str, list[tuple[str, ...]] | set[tuple[str, ...]]] = {}
         self.norm = norm
         self.max_len = 0
+        self._dirty = False
 
     def add(self, words: Sequence[str]) -> None:
         if not words:
             return
         if self.norm is not None:
             words = [self.norm(w) for w in words]
-        key = words[0]
-        suffix = tuple(words[1:])
-        bucket = self.by_first.setdefault(key, [])
-        if suffix not in bucket:
-            bucket.append(suffix)
-            bucket.sort(key=len, reverse=True)
-        self.max_len = max(self.max_len, len(words))
+        bucket = self.by_first.get(words[0])
+        if bucket is None:
+            bucket = self.by_first[words[0]] = set()
+        elif not isinstance(bucket, set):
+            bucket = self.by_first[words[0]] = set(bucket)
+        bucket.add(tuple(words[1:]))
+        if len(words) > self.max_len:
+            self.max_len = len(words)
+        self._dirty = True
+
+    def freeze(self) -> None:
+        """Finalize buckets to longest-first lists (idempotent)."""
+        if self._dirty:
+            for key, bucket in self.by_first.items():
+                self.by_first[key] = sorted(bucket, key=len, reverse=True)
+            self._dirty = False
 
     def __len__(self) -> int:
         return sum(len(v) for v in self.by_first.values())
 
     def longest_match(self, words: Sequence[str], i: int) -> Optional[int]:
         """Length (in words) of the longest phrase matching words[i:], or None."""
+        if self._dirty:
+            self.freeze()
         w = words[i] if self.norm is None else self.norm(words[i])
         bucket = self.by_first.get(w)
         if bucket is None:
