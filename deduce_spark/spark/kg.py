@@ -1,0 +1,287 @@
+"""Knowledge-graph construction: entity canonicalization + triple tables.
+
+Stages (SURVEY.md §1 tail / north_star):
+
+1. surface normalization (native Spark expressions — stays in codegen);
+2. MinHash signatures over char 3-shingles (Arrow-batched numpy UDF);
+3. LSH banding -> candidate pairs (groupBy band, self-join inside bucket);
+4. connected components via alternating large-star/small-star (iterative
+   joins, logarithmic rounds, lineage truncated with localCheckpoint);
+5. canonical entity id = min stable hash in the component;
+6. nodes / edges (triples) materialization, salted against hot-domain skew.
+
+Every hash is deterministic across processes (crc32 / xxhash64 via Spark,
+numpy permutations seeded with a fixed constant) — required for the
+exact-resume and differential-test guarantees.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 reliably
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(42)
+_PERM_A = _RNG.randint(1, _MERSENNE, size=N_HASHES, dtype=np.uint64)
+_PERM_B = _RNG.randint(0, _MERSENNE, size=N_HASHES, dtype=np.uint64)
+
+PHI_TAGS = ("bsn", "id", "telefoonnummer", "emailadres", "url", "leeftijd")
+
+
+def node_type(tag_col):
+    """Mention tag -> KG node type (SURVEY.md §1: PERSOON/LOCATIE/
+    INSTELLING/DATUM/PHI)."""
+    return (
+        F.when(tag_col.isin("patient", "persoon"), "PERSOON")
+        .when(tag_col == "locatie", "LOCATIE")
+        .when(tag_col.isin("ziekenhuis", "zorginstelling"), "INSTELLING")
+        .when(tag_col == "datum", "DATUM")
+        .when(tag_col.isin(*PHI_TAGS), "PHI")
+        .otherwise("OVERIG")
+    )
+
+
+def normalize_surface(col):
+    """Lowercase, strip accents-ish chars, collapse whitespace (native)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def surfaces(mentions: DataFrame) -> DataFrame:
+    """Distinct (surface, type) with stable 64-bit ids and mention counts."""
+    return (
+        mentions.select(
+            normalize_surface(F.col("text")).alias("surface"),
+            node_type(F.col("tag")).alias("type"),
+        )
+        .groupBy("surface", "type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn("surface_id", F.xxhash64("surface", "type"))
+    )
+
+
+# -- MinHash signatures ------------------------------------------------------
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("surface_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_key", T.LongType()),
+    ]
+)
+
+
+def _shingle_hashes(s: str) -> np.ndarray:
+    b = s.encode("utf-8")
+    if len(b) < 3:
+        return np.array([zlib.crc32(b)], dtype=np.uint64)
+    return np.array(
+        [zlib.crc32(b[i : i + 3]) for i in range(len(b) - 2)], dtype=np.uint64
+    )
+
+
+def minhash_bands(surf: DataFrame) -> DataFrame:
+    """(surface_id, surface) -> one row per (surface_id, band, band_key)."""
+    rows_per_band = N_HASHES // N_BANDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, bands, keys = [], [], []
+            for sid, s in zip(batch["surface_id"], batch["surface"]):
+                sh = _shingle_hashes(s)
+                # sig[k] = min((a_k * h + b_k) mod p)
+                v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
+                sig = v.min(axis=1)
+                for band in range(N_BANDS):
+                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                    key = int(zlib.crc32(chunk.tobytes()) ^ (band << 32))
+                    ids.append(sid)
+                    bands.append(band)
+                    keys.append(key)
+            yield pd.DataFrame(
+                {"surface_id": pd.Series(ids, dtype="int64"),
+                 "band": pd.Series(bands, dtype="int32"),
+                 "band_key": pd.Series(keys, dtype="int64")}
+            )
+
+    return surf.select("surface_id", "surface").mapInPandas(run, schema=_SIG_SCHEMA)
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Self-join within (band, band_key) buckets -> undirected edges a<b.
+
+    Bucket sizes are bounded in practice (same band signature == near-dup);
+    AQE's skew-join handles pathological buckets.
+    """
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.surface_id") < F.col("r.surface_id")),
+        )
+        .select(
+            F.col("l.surface_id").alias("a"), F.col("r.surface_id").alias("b")
+        )
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
+    """(a, b) undirected edges -> (surface_id, component) via iterative
+    min-label propagation; converges in O(log n) rounds on near-dup
+    clusters (which are small and dense)."""
+    spark = edges.sparkSession
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("surface_id"))
+        .distinct()
+        .withColumn("component", F.col("surface_id"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbour minimum
+        neigh = (
+            sym.join(labels, sym.a == labels.surface_id, "inner")
+            .select(F.col("b").alias("surface_id"), "component")
+            .groupBy("surface_id")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "surface_id", "left")
+            .select(
+                "surface_id",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_min", F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "surface_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """mentions -> (surface_map, nodes).
+
+    surface_map: (surface, type, surface_id, entity_id)
+    nodes:       (entity_id, type, canonical_form, n_mentions)
+    """
+    surf = surfaces(mentions).cache()
+    bands = minhash_bands(surf)
+    pairs = candidate_pairs(bands)
+    comp = connected_components(pairs)
+    surface_map = (
+        surf.join(comp, "surface_id", "left")
+        .withColumn("entity_id", F.coalesce("component", "surface_id"))
+        .drop("component")
+    )
+    # canonical form = most frequent surface in the component
+    # (deterministic tie-break on surface string)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id", "type").orderBy(
+        F.desc("n_mentions"), F.asc("surface")
+    )
+    canon = (
+        surface_map.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "type", F.col("surface").alias("canonical_form"))
+    )
+    nodes = (
+        surface_map.groupBy("entity_id", "type")
+        .agg(F.sum("n_mentions").alias("n_mentions"))
+        .join(canon, ["entity_id", "type"])
+        .select("entity_id", "type", "canonical_form", "n_mentions")
+    )
+    return surface_map, nodes
+
+
+def triples(
+    mentions: DataFrame, surface_map: DataFrame, with_cooccurrence: bool = True
+) -> DataFrame:
+    """Emit (subj, pred, obj, url, warc_ts) edge rows.
+
+    Predicates: mentions, hasType, hasSurfaceForm, publishedAt,
+    coOccursWith (per page, deduplicated, a<b).
+    The surface_map join is broadcast when small (dictionary-sized).
+    """
+    linked = mentions.withColumn(
+        "surface", normalize_surface(F.col("text"))
+    ).withColumn("type", node_type(F.col("tag"))).join(
+        F.broadcast(surface_map.select("surface", "type", "entity_id")),
+        ["surface", "type"],
+        "left",
+    )
+    ent = F.col("entity_id").cast("string")
+    t_mentions = linked.select(
+        F.col("url").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        ent.alias("obj"),
+        "url",
+        "warc_ts",
+    )
+    t_type = linked.select(
+        ent.alias("subj"),
+        F.lit("hasType").alias("pred"),
+        F.col("type").alias("obj"),
+        "url",
+        "warc_ts",
+    ).dropDuplicates(["subj", "obj"])
+    t_surface = linked.select(
+        ent.alias("subj"),
+        F.lit("hasSurfaceForm").alias("pred"),
+        F.col("surface").alias("obj"),
+        "url",
+        "warc_ts",
+    ).dropDuplicates(["subj", "obj"])
+    t_published = mentions.select("url", "warc_ts").distinct().select(
+        F.col("url").alias("subj"),
+        F.lit("publishedAt").alias("pred"),
+        F.col("warc_ts").cast("string").alias("obj"),
+        "url",
+        "warc_ts",
+    )
+    out = t_mentions.unionByName(t_type).unionByName(t_surface).unionByName(t_published)
+    if with_cooccurrence:
+        page_entities = linked.select("url", "warc_ts", "entity_id").distinct()
+        l, r = page_entities.alias("l"), page_entities.alias("r")
+        cooc = (
+            l.join(r, (F.col("l.url") == F.col("r.url"))
+                   & (F.col("l.entity_id") < F.col("r.entity_id")))
+            .select(
+                F.col("l.entity_id").cast("string").alias("subj"),
+                F.lit("coOccursWith").alias("pred"),
+                F.col("r.entity_id").cast("string").alias("obj"),
+                F.col("l.url").alias("url"),
+                F.col("l.warc_ts").alias("warc_ts"),
+            )
+        )
+        out = out.unionByName(cooc)
+    return out
+
+
+def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = 8) -> DataFrame:
+    """Break hot-domain skew: partition by (hash(domain), salt) so one hot
+    domain spreads over ``salt_buckets`` partitions (north_rule: explicit
+    skew handling; AQE alone does not rebalance UDF stages)."""
+    dom = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    salt = (F.xxhash64("url") % salt_buckets).cast("int")
+    return df.repartition(n_partitions, F.hash(dom), salt)

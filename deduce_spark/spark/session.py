@@ -1,0 +1,47 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs ``local[N]``; the same config block is what we would
+submit with ``spark-submit --py-files`` on a real cluster (the settings are
+cluster-size independent: AQE handles runtime re-planning, Arrow batch size
+bounds UDF memory, shuffle partitions sized to cores here and to
+``max(2 * total_cores, input_partitions)`` on a cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "deduce_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() else cpus
+        shuffle_partitions = max(2 * n, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pages can be ~100KB of text; bound Arrow batches so UDF workers
+        # hold at most a few hundred MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

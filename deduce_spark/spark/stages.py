@@ -1,0 +1,131 @@
+"""Arrow-vectorized pipeline stages: extract -> annotate -> mentions.
+
+Stage fusion: HTML extraction, tokenization, all annotators, interval
+resolution and redaction run inside ONE ``mapInPandas`` pass so token and
+mention arrays never cross the JVM<->Python boundary (SURVEY.md §4: one UDF
+beats N chained UDFs by avoiding repeated Arrow serialization).  The
+per-page phase is embarrassingly parallel — no shuffle — so it scales
+linearly with cores, which is what the N vs 4N efficiency criterion
+measures.
+
+The kernel Engine is shipped once per executor via ``SparkContext.broadcast``
+(~40 MB pickled; unpickled once per reused Python worker).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduce_spark.kernel.engine import Engine
+
+MENTION_STRUCT = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("start_char", T.IntegerType()),
+        T.StructField("end_char", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+    ]
+)
+
+ANNOTATED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("mentions", T.ArrayType(MENTION_STRUCT)),
+        T.StructField("redacted_text", T.StringType()),
+    ]
+)
+
+
+class AnnotatePipeline:
+    """Holds the broadcast engine and exposes DataFrame -> DataFrame stages."""
+
+    def __init__(self, spark: SparkSession, engine: Optional[Engine] = None) -> None:
+        self.spark = spark
+        self._engine_bc = spark.sparkContext.broadcast(engine or Engine())
+
+    # -- fused per-page stage --------------------------------------------
+
+    def annotate_pages(
+        self,
+        pages: DataFrame,
+        lang: Optional[str] = "nl",
+        from_html: bool = True,
+        with_redacted: bool = True,
+        enabled: Optional[set[str]] = None,
+    ) -> DataFrame:
+        """pages(url, warc_ts, html, text?, lang) -> annotated pages.
+
+        When ``from_html`` is set the text column is (re)derived from the
+        html bytes with the kernel extractor — the byte-identical-per-url
+        invariant versus the oracle.  The lang filter is a plain column
+        predicate, so Catalyst pushes it into the parquet scan.
+        """
+        if lang is not None:
+            pages = pages.filter(F.col("lang") == lang)
+        cols = ["url", "warc_ts", "lang"] + (["html"] if from_html else ["text"])
+        pages = pages.select(*cols)
+        bc = self._engine_bc
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            engine = bc.value
+            from deduce_spark.kernel.html_text import extract_text
+
+            for batch in batches:
+                texts = (
+                    [extract_text(h) for h in batch["html"]]
+                    if from_html
+                    else list(batch["text"])
+                )
+                mentions_col = []
+                redacted_col = []
+                for text in texts:
+                    doc = engine.deidentify(text, enabled=enabled)
+                    mentions_col.append(
+                        [
+                            (m.text, m.start, m.end, m.tag, m.priority)
+                            for m in sorted(doc.mentions, key=lambda m: m.sort_key())
+                        ]
+                    )
+                    redacted_col.append(
+                        doc.metadata.get("redacted_text") if with_redacted else None
+                    )
+                yield pd.DataFrame(
+                    {
+                        "url": batch["url"],
+                        "warc_ts": batch["warc_ts"],
+                        "lang": batch["lang"],
+                        "text": texts,
+                        "mentions": mentions_col,
+                        "redacted_text": redacted_col,
+                    }
+                )
+
+        return pages.mapInPandas(run, schema=ANNOTATED_SCHEMA)
+
+    # -- long-format mentions --------------------------------------------
+
+    @staticmethod
+    def mentions_long(annotated: DataFrame) -> DataFrame:
+        """Explode per-page mention arrays to a long mentions table."""
+        return annotated.select(
+            "url",
+            "warc_ts",
+            F.explode("mentions").alias("m"),
+        ).select(
+            "url",
+            "warc_ts",
+            F.col("m.text").alias("text"),
+            F.col("m.start_char").alias("start_char"),
+            F.col("m.end_char").alias("end_char"),
+            F.col("m.tag").alias("tag"),
+            F.col("m.priority").alias("priority"),
+        )
