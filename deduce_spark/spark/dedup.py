@@ -1,0 +1,273 @@
+"""Document deduplication operators for training-data pipelines.
+
+All operators are DataFrame -> DataFrame, deterministic, and shuffle-aware:
+
+- exact:     one groupBy on md5(text) (map-side combinable);
+- minhash:   char/word shingles -> 64-perm signatures (Arrow numpy UDF) ->
+             LSH bands -> bucket self-join -> signature-estimated jaccard
+             filter -> connected components -> canonical doc per cluster;
+- simhash:   64-bit simhash, bucketed by four 16-bit chunks (any pair with
+             hamming distance <= 3 shares a chunk by pigeonhole);
+- ngram jaccard: exact set jaccard via explode + join (SQL-expressible —
+             serves as the DuckDB oracle form of near-dup detection).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduce_spark.spark.kg import (
+    N_BANDS,
+    N_HASHES,
+    _MERSENNE,
+    _PERM_A,
+    _PERM_B,
+    connected_components,
+)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Clusters of byte-identical texts: (canonical_id, n_dups, text_hash)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _word_shingles(text: str, n: int = 3) -> np.ndarray:
+    words = text.split()
+    if len(words) < n:
+        joined = " ".join(words)
+        return np.array([zlib.crc32(joined.encode("utf-8"))], dtype=np.uint64)
+    return np.array(
+        [
+            zlib.crc32(" ".join(words[i : i + n]).encode("utf-8"))
+            for i in range(len(words) - n + 1)
+        ],
+        dtype=np.uint64,
+    )
+
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_words: int = 3
+) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sigs = [], []
+            for did, text in zip(batch[id_col], batch[text_col]):
+                sh = _word_shingles(text, shingle_words)
+                v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
+                sigs.append([int(x) for x in v.min(axis=1)])
+                ids.append(int(did))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=_SIG_SCHEMA)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(doc_id, canonical_id) for every doc in a near-dup cluster."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle_words).cache()
+    rows_per_band = N_HASHES // N_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    # verify candidates with the signature-estimated jaccard
+    est = (
+        pairs.join(sigs.withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sig_a"), "a")
+        .join(sigs.withColumnRenamed("doc_id", "b").withColumnRenamed("sig", "sig_b"), "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.arrays_zip("sig_a", "sig_b"),
+                    lambda s: s["sig_a"] == s["sig_b"],
+                )
+            )
+            / F.lit(N_HASHES),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b")
+    )
+    comp = connected_components(est)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("surface_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("canonical_id")
+        )
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit simhash over word features (crc32-seeded, deterministic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_cols = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            ids, hashes = [], []
+            for did, text in zip(batch[id_col], batch[text_col]):
+                words = text.split()
+                if not words:
+                    ids.append(int(did))
+                    hashes.append(0)
+                    continue
+                h1 = np.array(
+                    [zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64
+                )
+                # widen to 64 bits with a second independent crc
+                h2 = np.array(
+                    [zlib.crc32(w.encode("utf-8")[::-1]) ^ 0x9E3779B9 for w in words],
+                    dtype=np.uint64,
+                )
+                h = (h1 << np.uint64(32)) | h2
+                bits = ((h[:, None] >> bit_cols) & np.uint64(1)).astype(np.int64)
+                v = (2 * bits - 1).sum(axis=0)
+                sim = int(((v > 0).astype(np.uint64) << bit_cols).sum(dtype=np.uint64))
+                ids.append(int(did))
+                hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_dupes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """(a, b, hamming) pairs with hamming(simhash) <= max_hamming."""
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftrightunsigned(simhash, {16 * i}) & 65535")
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram (word) jaccard similarity pairs — explode + join form,
+    fully relational (this is the operator the DuckDB oracle replays)."""
+    words = F.split(F.col(text_col), " ")
+    gram_list = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), gram_list.alias("grams")
+    ).filter(F.size("grams") > 0)
+    sizes = grams.select("doc_id", F.size("grams").alias("n_grams"))
+    exploded = grams.select("doc_id", F.explode("grams").alias("gram"))
+    inter = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_grams", "size_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_grams", "size_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_common", "jaccard")
+    )

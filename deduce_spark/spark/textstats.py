@@ -1,0 +1,163 @@
+"""Text-analysis operators: token counting, quality scoring, language id,
+document fingerprinting.
+
+Everything except the winnowing fingerprint is built from native
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen) and has an exact
+ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# a regex in the BPE-pretokenizer family (GPT-2 style, simplified to the
+# RE2-compatible subset so Spark and DuckDB agree): word pieces, numbers,
+# punctuation runs
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+STOPWORDS = {
+    "nl": ("de", "het", "een", "en", "van", "ik", "te", "dat", "die", "in",
+           "is", "op", "aan", "met", "als", "voor", "er", "maar", "om",
+           "door", "over", "ze", "bij", "ook", "tot", "je", "mijn", "zich",
+           "uit", "naar", "heeft", "hij", "niet", "zijn"),
+    "en": ("the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
+           "he", "was", "for", "on", "are", "as", "with", "his", "they",
+           "at", "be", "this", "have", "from", "or", "had", "by", "but"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein",
+           "eine", "als", "auch", "es", "an", "werden", "aus", "er", "hat"),
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish piece count per document."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality signals: length, mean word length, punctuation ratio,
+    uppercase ratio, distinct-word ratio, and a composite score."""
+    text = F.col(text_col)
+    words = F.split(text, r"\s+")
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    mean_word_len = (n_chars - n_words + 1) / n_words
+    score = (
+        F.when((n_words >= 5) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+        + F.when(punct / n_chars <= 0.2, 0.25).otherwise(0.0)
+        + 0.25 * distinct_ratio
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(upper / n_chars, 4).alias("upper_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language id over {nl, en, de}: the language whose
+    stopword list overlaps the document's distinct lowercase words most
+    (count of matching stopword TYPES); deterministic de>en>nl tie-break via
+    greatest()-first ordering."""
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["nl"] == best, "nl")
+        .when(scores["en"] == best, "en")
+        .otherwise("de")
+    )
+    return df.select(
+        "doc_id",
+        scores["nl"].alias("score_nl"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        F.when(best > 0, pred).otherwise("unknown").alias("pred_lang"),
+    )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint (SQL-expressible)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+_WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("winnow", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def winnowing_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al. 2003): rolling
+    polynomial hash of k-grams, min-sampled per window.  Loops are
+    per-document -> Arrow-batched numpy UDF."""
+    import numpy as np
+
+    base = np.uint64(1000003)
+    mod_mask = np.uint64((1 << 61) - 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, prints = [], []
+            for did, text in zip(batch["doc_id"], batch[text_col]):
+                data = np.frombuffer(
+                    text.lower().encode("utf-8", "replace"), dtype=np.uint8
+                ).astype(np.uint64)
+                if len(data) < k:
+                    ids.append(int(did))
+                    prints.append([int(data.sum())] if len(data) else [])
+                    continue
+                # rolling hash over k-grams
+                n = len(data) - k + 1
+                h = np.zeros(n, dtype=np.uint64)
+                acc = np.uint64(0)
+                for j in range(k):
+                    acc = (acc * base + data[j]) & mod_mask
+                h[0] = acc
+                top = base
+                for j in range(1, k):
+                    top = (top * base) & mod_mask
+                for i in range(1, n):
+                    acc = (acc * base + data[i + k - 1] - (data[i - 1] * top)) & mod_mask
+                    h[i] = acc
+                # min per sliding window, dedup consecutive picks
+                if n <= window:
+                    sel = [int(h.min())]
+                else:
+                    idx = np.array(
+                        [i + int(h[i : i + window].argmin()) for i in range(n - window + 1)]
+                    )
+                    sel = [int(h[i]) for i in sorted(set(idx.tolist()))]
+                ids.append(int(did))
+                prints.append(sel)
+            yield pd.DataFrame({"doc_id": ids, "winnow": prints})
+
+    return df.select("doc_id", text_col).mapInPandas(run, schema=_WINNOW_SCHEMA)

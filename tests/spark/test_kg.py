@@ -1,0 +1,60 @@
+"""KG canonicalization + triples over synthetic pages."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduce_spark.spark import kg
+
+
+@pytest.fixture(scope="module")
+def mentions(spark, pipeline, pages_path):
+    pages = spark.read.parquet(pages_path)
+    annotated = pipeline.annotate_pages(pages, lang="nl")
+    return pipeline.mentions_long(annotated).cache()
+
+
+def test_surfaces_dedupe(mentions):
+    surf = kg.surfaces(mentions)
+    rows = surf.collect()
+    assert len(rows) == surf.select("surface_id").distinct().count()
+    assert all(r["n_mentions"] >= 1 for r in rows)
+
+
+def test_minhash_deterministic(spark, mentions):
+    surf = kg.surfaces(mentions)
+    b1 = kg.minhash_bands(surf).orderBy("surface_id", "band").collect()
+    b2 = kg.minhash_bands(surf).orderBy("surface_id", "band").collect()
+    assert b1 == b2
+    assert all(r["band"] < kg.N_BANDS for r in b1)
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    comp = {r["surface_id"]: r["component"]
+            for r in kg.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_canonicalize_and_triples(mentions):
+    surface_map, nodes = kg.canonicalize(mentions)
+    nrows = nodes.collect()
+    assert len(nrows) > 10
+    types = {r["type"] for r in nrows}
+    assert {"PERSOON", "LOCATIE", "DATUM", "PHI"} <= types
+
+    t = kg.triples(mentions, surface_map)
+    preds = {r["pred"] for r in t.select("pred").distinct().collect()}
+    assert preds == {
+        "mentions", "hasType", "hasSurfaceForm", "publishedAt", "coOccursWith"
+    }
+    # every mention row yields exactly one `mentions` triple
+    assert t.filter(F.col("pred") == "mentions").count() == mentions.count()
+
+
+def test_salted_repartition(mentions):
+    df = kg.salted_repartition(mentions, 8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == mentions.count()

@@ -1,0 +1,153 @@
+"""Dedup / text-analysis / similarity / multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduce_spark.spark import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bb"), (2, "aa bb"), (3, "cc")], ["doc_id", "text"]
+        )
+        rows = {r["canonical_id"]: r["n_dups"]
+                for r in dedup.exact_duplicates(df).collect()}
+        assert rows == {1: 2, 3: 1}
+
+    def test_minhash_clusters_near_dupes(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again " * 5
+        variant = base.replace("lazy", "sleepy", 1)
+        other = "completely different content about spark shuffle partitions " * 5
+        df = spark.createDataFrame(
+            [(1, base), (2, variant), (3, other)], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r["canonical_id"]
+               for r in dedup.minhash_dedup(df, threshold=0.5).collect()}
+        assert out[1] == out[2]
+        assert out[3] != out[1]
+
+    def test_simhash_near_dupes(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        variant = base.replace("delta", "delta2", 1)
+        other = " ".join(f"w{i}" for i in range(64))
+        df = spark.createDataFrame(
+            [(1, base), (2, variant), (3, other)], ["doc_id", "text"]
+        )
+        pairs = {(r["a"], r["b"]) for r in
+                 dedup.simhash_near_dupes(df, max_hamming=8).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_ngram_jaccard_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u")],
+            ["doc_id", "text"],
+        )
+        rows = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # grams(1)={abc,bcd,cde}, grams(2)={abc,bcd,cdx}: 2 common of 4
+        assert (r["a"], r["b"], r["n_common"]) == (1, 2, 2)
+        assert abs(r["jaccard"] - 0.5) < 1e-9
+
+
+class TestTextstats:
+    def test_token_count(self, docs):
+        out = textstats.token_count(docs).collect()
+        assert all(r["ws_tokens"] >= 1 and r["bpe_tokens"] >= 1 for r in out)
+
+    def test_quality(self, docs):
+        out = textstats.quality_score(docs).collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "de patient is van het ziekenhuis en hij heeft een afspraak"),
+                (2, "the quick brown fox is on the table and it was good"),
+                (3, "der Hund und die Katze sind nicht im Haus mit dem Auto"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+        assert out == {1: "nl", 2: "en", 3: "de"}
+
+    def test_fingerprints(self, docs):
+        md5s = textstats.fingerprint_md5(docs)
+        assert md5s.count() == docs.count()
+        win = textstats.winnowing_fingerprint(docs.limit(20))
+        rows = win.collect()
+        assert all(len(r["winnow"]) > 0 for r in rows)
+        # identical text -> identical fingerprint
+        again = {r["doc_id"]: r["winnow"]
+                 for r in textstats.winnowing_fingerprint(docs.limit(20)).collect()}
+        for r in rows:
+            assert again[r["doc_id"]] == r["winnow"]
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_consistency(self, vecs):
+        queries = vecs.filter(F.col("vec_id") < 3)
+        out = similarity.cosine_topk(vecs, queries, k=5)
+        rows = out.collect()
+        assert len(rows) == 15
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            ranks = sorted(r["rank"] for r in rs)
+            assert ranks == [1, 2, 3, 4, 5]
+            sims = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r["neighbor_id"] != q for r in rs)
+
+    def test_lsh_recall_vs_brute_force(self, vecs):
+        queries = vecs.filter(F.col("vec_id") < 20)
+        brute = similarity.cosine_topk(vecs, queries, k=1).filter(F.col("rank") == 1)
+        approx = similarity.lsh_topk(vecs, k=5, n_planes=4, n_tables=10)
+        hits = brute.alias("b").join(
+            approx.alias("a"),
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.neighbor_id") == F.col("a.neighbor_id")),
+        ).count()
+        # with 4 planes, same-bucket probability for near neighbors is high;
+        # expect at least half of the true top-1s recovered
+        assert hits >= 12
+
+
+class TestMultimodal:
+    def test_probe(self, spark):
+        media = multimodal.synthetic_media(spark, 32)
+        out = {r["media_id"]: r for r in multimodal.probe_media(media).collect()}
+        assert len(out) == 32
+        assert out[0]["detected_type"] == "image/png"
+        assert out[1]["detected_type"] == "image/jpeg"
+        assert out[2]["detected_type"] == "audio/wav"
+        assert all(r["n_bytes"] > 500 for r in out.values())
+
+    def test_decode_stub_raises(self, spark):
+        media = multimodal.synthetic_media(spark, 4)
+        with pytest.raises(NotImplementedError):
+            multimodal.image_features(media, use_decoder=True)
+
+    def test_fake_features_and_frames(self, spark):
+        media = multimodal.synthetic_media(spark, 16)
+        feats = multimodal.image_features(media).collect()
+        assert all(len(r["features"]) == 64 for r in feats)
+        assert all(abs(sum(r["features"]) - 1.0) < 1e-3 for r in feats)
+        frames = multimodal.frame_sample(media, n_frames=4).collect()
+        assert len(frames) == 64
+        assert all(len(r["frame"]) <= 256 for r in frames)
