@@ -1,38 +1,641 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship KG query on sf0.001.
+``queries()``      — one callable per implemented operator (SURVEY.md §2 +
+                     the training-data operators); each takes
+                     (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()``   — DuckDB-runnable ANSI-SQL twins for every relationally
+                     expressible query (RE2-safe regexes only).  Queries
+                     without an entry here are non-SQL-expressible (full
+                     NLP pipeline, MinHash/LSH, stateful loops) and get the
+                     driver's rows-only check.
+
+Column names/aliases are kept identical between the Spark and SQL forms —
+the driver's value-hash compare sorts columns by name.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_REPO = Path(__file__).resolve().parent
+_PAGES_CACHE = _REPO / "data" / "pages"
+
+_ENGINE = None
+_PIPELINE = None
+
+
+def _engine():
+    global _ENGINE
+    if _ENGINE is None:
+        from deduce_spark.kernel.engine import Engine
+
+        _ENGINE = Engine()
+    return _ENGINE
+
+
+def _pipeline(spark: SparkSession):
+    global _PIPELINE
+    if _PIPELINE is None or _PIPELINE.spark is not spark:
+        from deduce_spark.spark.stages import AnnotatePipeline
+
+        _PIPELINE = AnnotatePipeline(spark, _engine())
+    return _PIPELINE
+
+
+def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic pages table sized to the sf tier (the KG
+    pipeline's input shape per BASELINE.json input_hint; generated per
+    FIXTURES.md §1, cached as parquet under data/pages)."""
+    from deduce_spark.fixtures import write_pages_parquet
+
+    name = Path(sf_dir).name
+    n = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}.get(name, 500)
+    path = write_pages_parquet(_PAGES_CACHE, n_pages=n)
+    return spark.read.parquet(str(path))
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline over sf0.001-scale pages — annotate,
+    canonicalize, emit triples, count per predicate/type."""
+    from deduce_spark.spark import kg
 
+    pages = _pages_df(spark, "/root/testdata/sf0.001")
+    pipe = _pipeline(spark)
+    annotated = pipe.annotate_pages(pages, lang="nl")
+    mentions = pipe.mentions_long(annotated)
+    surface_map, nodes = kg.canonicalize(mentions)
+    triples = kg.triples(mentions, surface_map)
+    return (
+        triples.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- relational core (scan/filter/agg/join/window/topk) ---------------
 
+    def doc_scan_filter(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .filter((F.col("n_chars") > 200) & (F.col("lang") == "en"))
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    q["doc_scan_filter"] = doc_scan_filter
+
+    def doc_token_count(spark, sf_dir):
+        from deduce_spark.spark.textstats import token_count
+
+        return token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["doc_token_count"] = doc_token_count
+
+    def word_freq_topk(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("word"))
+            .limit(20)
+        )
+
+    q["word_freq_topk"] = word_freq_topk
+
+    def exact_dedup(spark, sf_dir):
+        from deduce_spark.spark.dedup import exact_duplicates
+
+        return exact_duplicates(_docs(spark, sf_dir)).orderBy("canonical_id")
+
+    q["exact_dedup"] = exact_dedup
+
+    def doc_quality(spark, sf_dir):
+        from deduce_spark.spark.textstats import quality_score
+
+        return quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["doc_quality"] = doc_quality
+
+    def doc_lang_id(spark, sf_dir):
+        from deduce_spark.spark.textstats import lang_id
+
+        return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["doc_lang_id"] = doc_lang_id
+
+    def doc_fingerprint(spark, sf_dir):
+        from deduce_spark.spark.textstats import fingerprint_md5
+
+        return fingerprint_md5(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    def ngram_jaccard(spark, sf_dir):
+        from deduce_spark.spark.dedup import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+        return out.select(
+            "a", "b", "n_common", F.round("jaccard", 4).alias("jaccard")
+        ).orderBy("a", "b")
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def embed_topk(spark, sf_dir):
+        from deduce_spark.spark.similarity import cosine_topk
+
+        vecs = _emb(spark, sf_dir)
+        queries_df = vecs.filter(F.col("vec_id") < 10)
+        out = cosine_topk(vecs, queries_df, k=3)
+        return out.select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 3).alias("cosine")
+        ).orderBy("query_id", "rank")
+
+    q["embed_topk"] = embed_topk
+
+    def events_sessionize(spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        epoch = F.col("ts").cast("timestamp").cast("long")
+        gap = epoch - F.lag(epoch).over(w)
+        sess = ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        return (
+            sess.groupBy("user_id")
+            .agg(
+                F.sum("new_session").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .orderBy("user_id")
+        )
+
+    q["events_sessionize"] = events_sessionize
+
+    def events_hourly(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("hour", "event_type")
+        )
+
+    q["events_hourly"] = events_hourly
+
+    def events_regex_extract(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.select(
+                "event_id",
+                F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int").alias("k"),
+            )
+            .filter(F.col("k") > 50)
+            .orderBy("event_id")
+        )
+
+    q["events_regex_extract"] = events_regex_extract
+
+    def tpch_q1(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["tpch_q1"] = tpch_q1
+
+    def tpch_q3ish(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(
+                F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                orders.o_custkey == F.col("c_custkey"),
+            )
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    q["tpch_q3ish"] = tpch_q3ish
+
+    def segment_top_customers(spark, sf_dir):
+        from pyspark.sql import Window
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        spend = (
+            orders.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        )
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.desc("total_spend"), F.asc("c_custkey")
+        )
+        return (
+            spend.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("c_mktsegment", "rank", "c_custkey", "total_spend")
+            .orderBy("c_mktsegment", "rank")
+        )
+
+    q["segment_top_customers"] = segment_top_customers
+
+    def brand_volume(spark, sf_dir):
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .orderBy("p_brand")
+        )
+
+    q["brand_volume"] = brand_volume
+
+    def nation_supplier_stats(spark, sf_dir):
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+        return (
+            sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+            )
+            .orderBy("r_name", "n_name")
+        )
+
+    q["nation_supplier_stats"] = nation_supplier_stats
+
+    # -- annotator families over documents (RE2-safe regex; oracled) ------
+
+    def regex_identifiers(spark, sf_dir):
+        # identifier annotator semantics (7+ digit runs), relational form
+        d = _docs(spark, sf_dir)
+        return (
+            d.select(
+                "doc_id",
+                F.explode(
+                    F.regexp_extract_all(F.col("text"), F.lit(r"\d{7,}"), 0)
+                ).alias("id_text"),
+            )
+            .orderBy("doc_id", "id_text")
+        )
+
+    q["regex_identifiers"] = regex_identifiers
+
+    def regex_emails(spark, sf_dir):
+        pat = r"[-a-zA-Z0-9:%._\+~#=]{1,256}@[-a-zA-Z0-9:%._\+~#=]{1,256}\.(?:com|net|org|co|us|uk|nl|be|fr|sp|gov|nu)"
+        d = _docs(spark, sf_dir)
+        return (
+            d.select(
+                "doc_id",
+                F.explode(
+                    F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+                ).alias("email"),
+            )
+            .orderBy("doc_id", "email")
+        )
+
+    q["regex_emails"] = regex_emails
+
+    # -- KG pipeline + sketch operators (non-SQL-expressible, rows-only) --
+
+    def kg_mentions_by_tag(spark, sf_dir):
+        pipe = _pipeline(spark)
+        pages = _pages_df(spark, sf_dir)
+        mentions = pipe.mentions_long(pipe.annotate_pages(pages, lang="nl"))
+        return mentions.groupBy("tag").agg(F.count(F.lit(1)).alias("n")).orderBy("tag")
+
+    q["kg_mentions_by_tag"] = kg_mentions_by_tag
+
+    def kg_triples_by_pred(spark, sf_dir):
+        from deduce_spark.spark import kg
+
+        pipe = _pipeline(spark)
+        pages = _pages_df(spark, sf_dir)
+        mentions = pipe.mentions_long(pipe.annotate_pages(pages, lang="nl"))
+        surface_map, _nodes = kg.canonicalize(mentions)
+        return (
+            kg.triples(mentions, surface_map)
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("pred")
+        )
+
+    q["kg_triples_by_pred"] = kg_triples_by_pred
+
+    def kg_redact_sample(spark, sf_dir):
+        pipe = _pipeline(spark)
+        pages = _pages_df(spark, sf_dir)
+        annotated = pipe.annotate_pages(pages, lang="nl")
+        return (
+            annotated.select("url", "redacted_text")
+            .filter(F.col("redacted_text").contains("["))
+            .orderBy("url")
+            .limit(50)
+        )
+
+    q["kg_redact_sample"] = kg_redact_sample
+
+    def minhash_dedup_docs(spark, sf_dir):
+        from deduce_spark.spark.dedup import minhash_dedup
+
+        return minhash_dedup(_docs(spark, sf_dir), threshold=0.5).orderBy("doc_id")
+
+    q["minhash_dedup_docs"] = minhash_dedup_docs
+
+    def simhash_pairs_docs(spark, sf_dir):
+        from deduce_spark.spark.dedup import simhash_near_dupes
+
+        return simhash_near_dupes(_docs(spark, sf_dir), max_hamming=10).orderBy("a", "b")
+
+    q["simhash_pairs_docs"] = simhash_pairs_docs
+
+    def lsh_topk_embeddings(spark, sf_dir):
+        from deduce_spark.spark.similarity import lsh_topk
+
+        return lsh_topk(_emb(spark, sf_dir), k=3).orderBy("query_id", "rank")
+
+    q["lsh_topk_embeddings"] = lsh_topk_embeddings
+
+    def winnow_fingerprints(spark, sf_dir):
+        from deduce_spark.spark.textstats import winnowing_fingerprint
+
+        out = winnowing_fingerprint(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id", F.size("winnow").alias("n_grams"),
+            F.hash(F.col("winnow").cast("array<string>").cast("string")).alias("winnow_hash"),
+        ).orderBy("doc_id")
+
+    q["winnow_fingerprints"] = winnow_fingerprints
+
+    def media_probe(spark, sf_dir):
+        from deduce_spark.spark.multimodal import probe_media, synthetic_media
+
+        return probe_media(synthetic_media(spark, 64)).orderBy("media_id")
+
+    q["media_probe"] = media_probe
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    email = r"[-a-zA-Z0-9:%._\+~#=]{1,256}@[-a-zA-Z0-9:%._\+~#=]{1,256}\.(?:com|net|org|co|us|uk|nl|be|fr|sp|gov|nu)"
+    nl = ",".join(f"'{w}'" for w in _STOP_NL)
+    en = ",".join(f"'{w}'" for w in _STOP_EN)
+    de = ",".join(f"'{w}'" for w in _STOP_DE)
+    return {
+        "doc_scan_filter": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE n_chars > 200 AND lang = 'en' ORDER BY doc_id
+        """,
+        "doc_token_count": rf"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '{bpe}')) AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "word_freq_topk": """
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+            ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY canonical_id
+        """,
+        "doc_quality": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(regexp_split_to_array(text, '\s+')) AS n_words,
+                       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+                       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_,
+                       len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct
+                FROM documents)
+            SELECT doc_id, n_chars, n_words,
+                   ROUND((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+                   ROUND(punct / CAST(n_chars AS DOUBLE), 4) AS punct_ratio,
+                   ROUND(upper_ / CAST(n_chars AS DOUBLE), 4) AS upper_ratio,
+                   ROUND(n_distinct / CAST(n_words AS DOUBLE), 4) AS distinct_ratio,
+                   ROUND(
+                     (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN (n_chars - n_words + 1) / CAST(n_words AS DOUBLE)
+                           BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN punct / CAST(n_chars AS DOUBLE) <= 0.2 THEN 0.25 ELSE 0.0 END)
+                   + 0.25 * (n_distinct / CAST(n_words AS DOUBLE)), 4) AS quality
+            FROM base ORDER BY doc_id
+        """,
+        "doc_lang_id": rf"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(lower(text), '\s+')) AS words
+                FROM documents),
+            scored AS (
+                SELECT doc_id,
+                       len(list_intersect(words, [{nl}])) AS score_nl,
+                       len(list_intersect(words, [{en}])) AS score_en,
+                       len(list_intersect(words, [{de}])) AS score_de
+                FROM base)
+            SELECT doc_id, score_nl, score_en, score_de,
+                   CASE WHEN greatest(score_nl, score_en, score_de) = 0 THEN 'unknown'
+                        WHEN score_nl = greatest(score_nl, score_en, score_de) THEN 'nl'
+                        WHEN score_en = greatest(score_nl, score_en, score_de) THEN 'en'
+                        ELSE 'de' END AS pred_lang
+            FROM scored ORDER BY doc_id
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+                SELECT doc_id, list_distinct([
+                    string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]
+                    FOR i IN range(1, len(string_split(text, ' ')) - 1)
+                ]) AS gs
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+            sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
+            exploded AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+                FROM exploded l JOIN exploded r
+                  ON l.gram = r.gram AND l.doc_id < r.doc_id
+                GROUP BY l.doc_id, r.doc_id)
+            SELECT a, b, n_common,
+                   ROUND(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.2
+            ORDER BY a, b
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+            expanded AS (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       CAST(unnest(q.embedding) AS DOUBLE) AS qx,
+                       CAST(unnest(v.embedding) AS DOUBLE) AS vx
+                FROM q, embeddings v
+                WHERE v.vec_id <> q.vec_id),
+            sims AS (
+                SELECT query_id, neighbor_id,
+                       SUM(qx * vx) / (SQRT(SUM(qx * qx)) * SQRT(SUM(vx * vx))) AS cos_
+                FROM expanded GROUP BY query_id, neighbor_id),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_ DESC, neighbor_id ASC) AS rank,
+                       cos_
+                FROM sims)
+            SELECT query_id, neighbor_id, rank, ROUND(cos_, 3) AS cosine
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+            FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "events_regex_extract": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+            FROM events
+            WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) > 50
+            ORDER BY event_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3ish": """
+            SELECT o_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "segment_top_customers": """
+            WITH spend AS (
+                SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+                FROM orders GROUP BY o_custkey),
+            ranked AS (
+                SELECT c_mktsegment, c_custkey, total_spend,
+                       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY total_spend DESC, c_custkey ASC) AS rank
+                FROM spend JOIN customer ON o_custkey = c_custkey)
+            SELECT c_mktsegment, rank, c_custkey, total_spend
+            FROM ranked WHERE rank <= 3 ORDER BY c_mktsegment, rank
+        """,
+        "brand_volume": """
+            SELECT p_brand, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "nation_supplier_stats": """
+            SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+                   ROUND(AVG(s_acctbal), 2) AS avg_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "regex_identifiers": r"""
+            SELECT doc_id, unnest(regexp_extract_all(text, '\d{7,}')) AS id_text
+            FROM documents ORDER BY doc_id, id_text
+        """,
+        "regex_emails": f"""
+            SELECT doc_id, unnest(regexp_extract_all(text, '{email}')) AS email
+            FROM documents ORDER BY doc_id, email
+        """,
+    }
+
+
+from deduce_spark.spark.textstats import STOPWORDS as _SW  # noqa: E402
+
+_STOP_NL = _SW["nl"]
+_STOP_EN = _SW["en"]
+_STOP_DE = _SW["de"]

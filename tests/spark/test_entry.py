@@ -1,0 +1,83 @@
+"""Self-check of the driver contract: every oracle-SQL query must match its
+Spark twin at sf0.01 (row count, column names, sorted values) — a local
+replica of the driver's CORRECTNESS gate; rows-only queries must run and
+return a stable schema."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_df, duck_df, name):
+    a, b = normalize(spark_df), normalize(duck_df)
+    assert list(a.columns) == list(b.columns), f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = [
+                (math.isnan(x) and math.isnan(y)) or abs(float(x) - float(y)) <= 1e-9
+                for x, y in zip(av.astype(float), bv.astype(float))
+            ]
+            assert all(ok), f"{name}: float drift in {c}"
+        else:
+            mism = (av.astype(str) != bv.astype(str))
+            assert not mism.any(), (
+                f"{name}: value mismatch in {c}: "
+                f"{a[mism].head(3).to_dict()} vs {b[mism].head(3).to_dict()}"
+            )
+
+
+ORACLED = sorted(entry_mod.oracle_sql())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracled_query(spark, duck, name):
+    q = entry_mod.queries()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(entry_mod.oracle_sql()[name]).df()
+    compare(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query(spark, name):
+    df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
+    assert len(df.schema.fields) > 0
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 4
+    preds = {r["pred"] for r in rows}
+    assert "mentions" in preds and "hasType" in preds
