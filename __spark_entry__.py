@@ -77,7 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = _pages_df(spark, "/root/testdata/sf0.001")
     pipe = _pipeline(spark)
     annotated = pipe.annotate_pages(pages, lang="nl")
-    mentions = pipe.mentions_long(annotated)
+    mentions = pipe.mentions_long(annotated).cache()
     surface_map, nodes = kg.canonicalize(mentions)
     triples = kg.triples(mentions, surface_map)
     return (
@@ -365,7 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pipe = _pipeline(spark)
         pages = _pages_df(spark, sf_dir)
-        mentions = pipe.mentions_long(pipe.annotate_pages(pages, lang="nl"))
+        mentions = pipe.mentions_long(
+            pipe.annotate_pages(pages, lang="nl")
+        ).cache()
         surface_map, _nodes = kg.canonicalize(mentions)
         return (
             kg.triples(mentions, surface_map)

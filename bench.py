@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode (north_rule evidence, sandbox-adapted per driver
+instruction): run the identical KG job at local[8] and local[32] on the
+same input in fresh subprocesses, report pages/sec at both plus the
+efficiency ``(T8/T32)/(32/8)``, and append the table to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline queries: the KG pipeline (UDF-heavy, shuffle-free per-page phase)
+# + canonicalization (shuffle phase) + a spread of relational / dedup /
+# similarity operators
+HEADLINE = [
+    "kg_mentions_by_tag",
+    "kg_triples_by_pred",
+    "minhash_dedup_docs",
+    "embed_topk",
+    "word_freq_topk",
+    "tpch_q1",
+    "tpch_q3ish",
+    "events_sessionize",
+]
+
+
+def _consume(df) -> int:
+    """Force full execution without collecting rows to the driver."""
+    return df.count()
+
+
+def run_headline() -> dict:
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry_mod
+    from deduce_spark.spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="deduce_spark_bench")
+    qs = entry_mod.queries()
+    # warm up outside the timed region: page fixture, engine broadcast, and
+    # one tiny annotate so every reused Python worker has loaded the engine
+    # (a real cluster amortizes this once per executor over the whole job)
+    pages = entry_mod._pages_df(spark, SF_DIR)
+    pipe = entry_mod._pipeline(spark)
+    pipe.annotate_pages(pages.limit(2 * CPUS).repartition(2 * CPUS), lang=None).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        _consume(qs[name](spark, SF_DIR))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    sf = float(Path(SF_DIR).name.removeprefix("sf")) if "sf" in Path(SF_DIR).name else 0.1
+    result = {
+        "metric": "headline_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return result
+
+
+# ---------------------------------------------------------------------------
+# scaling evidence
+# ---------------------------------------------------------------------------
+
+_SCALING_SNIPPET = r"""
+import json, sys, time
+from pathlib import Path
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as entry_mod
+from deduce_spark.spark.session import get_spark
+
+cores = {cores}
+spark = get_spark(master=f"local[{{cores}}]", app_name=f"kg_scaling_{{cores}}")
+pages = entry_mod._pages_df(spark, {sf_dir!r})
+n_pages = pages.count()
+pipe = entry_mod._pipeline(spark)
+# warm every worker (engine load happens once per executor on a cluster)
+pipe.annotate_pages(pages.limit(2 * cores).repartition(2 * cores), lang=None).count()
+t0 = time.time()
+annotated = pipe.annotate_pages(pages, lang="nl")
+n_out = annotated.count()
+wall = time.time() - t0
+print(json.dumps({{"cores": cores, "n_pages": n_pages, "n_annotated": n_out,
+                   "wall_sec": round(wall, 3),
+                   "pages_per_sec": round(n_out / wall, 2)}}))
+spark.stop()
+"""
+
+
+def run_scaling(low: int = 8, high: int = 32) -> dict:
+    results = {}
+    for cores in (low, high):
+        code = _SCALING_SNIPPET.format(repo=str(REPO), cores=cores, sf_dir=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, check=True, cwd=str(REPO),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    tp_low = results[low]["pages_per_sec"]
+    tp_high = results[high]["pages_per_sec"]
+    efficiency = round((tp_high / tp_low) / (high / low), 3)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": efficiency,
+        "unit": "ratio",
+        "low_cores": low,
+        "high_cores": high,
+        "pages_per_sec": {str(low): tp_low, str(high): tp_high},
+        "detail": results,
+        "sf_dir": SF_DIR,
+    }
+    _append_baseline_md(summary)
+    return summary
+
+
+def _append_baseline_md(s: dict) -> None:
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    path = bench_dir / "BASELINE.md"
+    lo, hi = str(s["low_cores"]), str(s["high_cores"])
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        f"\n## Scaling run {stamp} ({s['sf_dir']})\n",
+        "| cores | pages | wall (s) | pages/sec |",
+        "|---|---|---|---|",
+    ]
+    for c in (s["low_cores"], s["high_cores"]):
+        d = s["detail"][c]
+        lines.append(
+            f"| local[{c}] | {d['n_annotated']} | {d['wall_sec']} | {d['pages_per_sec']} |"
+        )
+    lines.append(
+        f"\n**Scaling efficiency {lo}→{hi} cores: "
+        f"{s['value']}** (target ≥ 0.8; = (tp{hi}/tp{lo})/({hi}/{lo}))\n"
+    )
+    with open(path, "a", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

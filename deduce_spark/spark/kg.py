@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 N_HASHES = 64
-N_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 reliably
+N_BANDS = 16  # used by doc-level dedup: 16 bands x 4 rows, jaccard >~ 0.5
+# surface canonicalization wants near-identical strings only (typos, case,
+# whitespace variants): 16x4 banding RECALLS jaccard >= 0.7 with p > 0.99,
+# and the signature-estimated-jaccard verify restores PRECISION
+SURFACE_BANDS = 16
+SURFACE_JACCARD = 0.7
 _MERSENNE = (1 << 61) - 1
 _RNG = np.random.RandomState(42)
 _PERM_A = _RNG.randint(1, _MERSENNE, size=N_HASHES, dtype=np.uint64)
@@ -72,8 +77,7 @@ def surfaces(mentions: DataFrame) -> DataFrame:
 _SIG_SCHEMA = T.StructType(
     [
         T.StructField("surface_id", T.LongType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("band_key", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -87,60 +91,109 @@ def _shingle_hashes(s: str) -> np.ndarray:
     )
 
 
-def minhash_bands(surf: DataFrame) -> DataFrame:
-    """(surface_id, surface) -> one row per (surface_id, band, band_key)."""
-    rows_per_band = N_HASHES // N_BANDS
+def surface_signatures(surf: DataFrame) -> DataFrame:
+    """(surface_id, surface) -> (surface_id, 64-long minhash signature)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, bands, keys = [], [], []
+            ids, sigs = [], []
             for sid, s in zip(batch["surface_id"], batch["surface"]):
                 sh = _shingle_hashes(s)
                 # sig[k] = min((a_k * h + b_k) mod p)
                 v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
-                sig = v.min(axis=1)
-                for band in range(N_BANDS):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    key = int(zlib.crc32(chunk.tobytes()) ^ (band << 32))
-                    ids.append(sid)
-                    bands.append(band)
-                    keys.append(key)
-            yield pd.DataFrame(
-                {"surface_id": pd.Series(ids, dtype="int64"),
-                 "band": pd.Series(bands, dtype="int32"),
-                 "band_key": pd.Series(keys, dtype="int64")}
-            )
+                sigs.append([int(x) for x in v.min(axis=1)])
+                ids.append(int(sid))
+            yield pd.DataFrame({"surface_id": ids, "sig": sigs})
 
     return surf.select("surface_id", "surface").mapInPandas(run, schema=_SIG_SCHEMA)
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Self-join within (band, band_key) buckets -> undirected edges a<b.
-
-    Bucket sizes are bounded in practice (same band signature == near-dup);
-    AQE's skew-join handles pathological buckets.
-    """
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (
-        left.join(
-            right,
+def candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = SURFACE_BANDS,
+    min_jaccard: float = SURFACE_JACCARD,
+) -> DataFrame:
+    """LSH banding over signatures -> bucket self-join -> pairs verified by
+    the signature-estimated jaccard.  Banding is native (xxhash64 over sig
+    slices), the verify is a higher-order array compare — no extra UDF."""
+    rows_per_band = N_HASHES // n_bands
+    banded = sigs.select(
+        "surface_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.surface_id") < F.col("r.surface_id")),
         )
-        .select(
-            F.col("l.surface_id").alias("a"), F.col("r.surface_id").alias("b")
-        )
+        .select(F.col("l.surface_id").alias("a"), F.col("r.surface_id").alias("b"))
         .distinct()
+    )
+    return (
+        pairs.join(sigs.select(F.col("surface_id").alias("a"),
+                               F.col("sig").alias("sig_a")), "a")
+        .join(sigs.select(F.col("surface_id").alias("b"),
+                          F.col("sig").alias("sig_b")), "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(F.arrays_zip("sig_a", "sig_b"),
+                         lambda s: s["sig_a"] == s["sig_b"])
+            ) / F.lit(N_HASHES),
+        )
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("a", "b")
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
-    """(a, b) undirected edges -> (surface_id, component) via iterative
-    min-label propagation; converges in O(log n) rounds on near-dup
-    clusters (which are small and dense)."""
+def connected_components(
+    edges: DataFrame, max_iter: int = 12, local_threshold: int = 2_000_000
+) -> DataFrame:
+    """(a, b) undirected edges -> (surface_id, component).
+
+    Near-dup graphs are sparse (edges only between near-identical strings),
+    so up to ``local_threshold`` edges a driver-side union-find is both
+    exact and orders of magnitude cheaper than iterative joins; above it,
+    distributed min-label propagation (O(log n) rounds, lineage truncated
+    per round) takes over.  Both paths are deterministic and agree.
+    """
     spark = edges.sparkSession
+    edges = edges.cache()  # consumed by count + either CC path
+    n_edges = edges.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "surface_id long, component long")
+    if n_edges <= local_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        pdf = edges.select("a", "b").toPandas()  # Arrow transfer, bounded
+        for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min root wins -> canonical id = min member, matching the
+                # distributed path
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(rows, "surface_id long, component long")
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("surface_id"))
@@ -185,8 +238,8 @@ def canonicalize(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
     nodes:       (entity_id, type, canonical_form, n_mentions)
     """
     surf = surfaces(mentions).cache()
-    bands = minhash_bands(surf)
-    pairs = candidate_pairs(bands)
+    sigs = surface_signatures(surf).cache()
+    pairs = candidate_pairs(sigs)
     comp = connected_components(pairs)
     surface_map = (
         surf.join(comp, "surface_id", "left")
@@ -230,6 +283,9 @@ def triples(
         ["surface", "type"],
         "left",
     )
+    # five triple families branch off `linked`; without caching, Spark
+    # recomputes the full upstream annotate chain once per branch
+    linked = linked.cache()
     ent = F.col("entity_id").cast("string")
     t_mentions = linked.select(
         F.col("url").alias("subj"),

@@ -45,11 +45,30 @@ ANNOTATED_SCHEMA = T.StructType(
 )
 
 
+# Engine cache living in the (reused) Python worker process.  A pyspark
+# Broadcast deserializes into a FRESH object per task, so ``bc.value`` would
+# re-unpickle the ~40 MB engine for every task; caching by token in a module
+# global amortizes it to once per worker process.
+_WORKER_ENGINE_CACHE: dict[str, Engine] = {}
+
+
+def _cached_engine(token: str, bc) -> Engine:
+    engine = _WORKER_ENGINE_CACHE.get(token)
+    if engine is None:
+        engine = bc.value
+        _WORKER_ENGINE_CACHE.clear()  # at most one engine per worker
+        _WORKER_ENGINE_CACHE[token] = engine
+    return engine
+
+
 class AnnotatePipeline:
     """Holds the broadcast engine and exposes DataFrame -> DataFrame stages."""
 
     def __init__(self, spark: SparkSession, engine: Optional[Engine] = None) -> None:
         self.spark = spark
+        import uuid
+
+        self._token = uuid.uuid4().hex
         self._engine_bc = spark.sparkContext.broadcast(engine or Engine())
 
     # -- fused per-page stage --------------------------------------------
@@ -73,10 +92,18 @@ class AnnotatePipeline:
             pages = pages.filter(F.col("lang") == lang)
         cols = ["url", "warc_ts", "lang"] + (["html"] if from_html else ["text"])
         pages = pages.select(*cols)
+        # the per-page phase is CPU-bound Python, not IO-bound: parallelism
+        # must track cores, not input bytes.  Small local inputs arrive as a
+        # handful of parquet row groups — fan them out; big inputs already
+        # have >= cores partitions and are left alone (no gratuitous shuffle).
+        target = self.spark.sparkContext.defaultParallelism * 2
+        if pages.rdd.getNumPartitions() < target:
+            pages = pages.repartition(target)
         bc = self._engine_bc
+        token = self._token
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            engine = bc.value
+            engine = _cached_engine(token, bc)
             from deduce_spark.kernel.html_text import extract_text
 
             for batch in batches:

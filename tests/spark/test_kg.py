@@ -22,10 +22,22 @@ def test_surfaces_dedupe(mentions):
 
 def test_minhash_deterministic(spark, mentions):
     surf = kg.surfaces(mentions)
-    b1 = kg.minhash_bands(surf).orderBy("surface_id", "band").collect()
-    b2 = kg.minhash_bands(surf).orderBy("surface_id", "band").collect()
-    assert b1 == b2
-    assert all(r["band"] < kg.N_BANDS for r in b1)
+    s1 = kg.surface_signatures(surf).orderBy("surface_id").collect()
+    s2 = kg.surface_signatures(surf).orderBy("surface_id").collect()
+    assert s1 == s2
+    assert all(len(r["sig"]) == kg.N_HASHES for r in s1)
+
+
+def test_candidate_pairs_merge_typo_variants(spark):
+    surf = spark.createDataFrame(
+        [(1, "albert schweitzer ziekenhuis"), (2, "albert schweizer ziekenhuis"),
+         (3, "dagblad van het noorden")],
+        ["surface_id", "surface"],
+    )
+    sigs = kg.surface_signatures(surf)
+    pairs = {(r["a"], r["b"]) for r in kg.candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
 
 
 def test_connected_components_chain(spark):
