@@ -176,15 +176,21 @@ def generate_pages(n_pages: int, seed: int = SEED) -> dict[str, list]:
 
 
 def write_pages_parquet(
-    out_dir: Path, n_pages: int, seed: int = SEED, row_group_pages: int = 2000
+    out_dir: Path, n_pages: int, seed: int = SEED, pages_per_file: int = 768
 ) -> Path:
-    """Write the pages table as parquet; cached by (n_pages, seed)."""
+    """Write the pages table as a DIRECTORY of parquet part files; cached by
+    (n_pages, seed).
+
+    Multiple files matter even at toy scale: a single file makes the first
+    Spark scan (and any downstream shuffle write) one serial task — the
+    Amdahl bottleneck that capped 8→32-core scaling in early benchmarks.  A
+    real Common-Crawl dump is thousands of WARC-derived files."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     out_dir = Path(out_dir)
-    out_path = out_dir / f"pages_n{n_pages}_s{seed}.parquet"
-    if out_path.exists():
+    out_path = out_dir / f"pages_n{n_pages}_s{seed}"
+    if (out_path / "_SUCCESS").exists():
         return out_path
     cols = generate_pages(n_pages, seed)
     # invariant spot-check: extraction inverts the wrapping
@@ -199,8 +205,11 @@ def write_pages_parquet(
             "lang": pa.array(cols["lang"], pa.string()),
         }
     )
-    out_dir.mkdir(parents=True, exist_ok=True)
-    tmp = out_path.with_suffix(".tmp.parquet")
-    pq.write_table(table, tmp, row_group_size=row_group_pages)
-    tmp.replace(out_path)
+    out_path.mkdir(parents=True, exist_ok=True)
+    n_files = max(1, (n_pages + pages_per_file - 1) // pages_per_file)
+    for i in range(n_files):
+        chunk = table.slice(i * pages_per_file, pages_per_file)
+        pq.write_table(chunk, out_path / f"part-{i:05d}.parquet",
+                       row_group_size=pages_per_file)
+    (out_path / "_SUCCESS").touch()
     return out_path

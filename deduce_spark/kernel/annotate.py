@@ -68,37 +68,54 @@ def token_index_at(toks: Sequence[Tok], start_char: int) -> Optional[int]:
 # deduce/annotator.py:29-83)
 # ---------------------------------------------------------------------------
 
-def match_position(pred: dict, word: str, ds) -> bool:
+def compile_position(pred: dict, ds):
+    """Compile one pattern-position dict into a ``str -> bool`` closure
+    (regexes precompiled, lookup sets bound once)."""
     if len(pred) != 1:
         raise ValueError(f"pattern position must have exactly 1 key: {pred}")
     op, arg = next(iter(pred.items()))
     if op == "equal":
-        return word == arg
+        return lambda w: w == arg
     if op == "re_match":
-        return re.match(arg, word) is not None
+        rx = re.compile(arg)
+        return lambda w: rx.match(w) is not None
     if op == "is_initials":
-        return (len(word) <= 4 and word.isupper()) == arg
+        return lambda w: (len(w) <= 4 and w.isupper()) == arg
     if op == "like_name":
-        return (
-            len(word) >= 3 and word.istitle() and not any(c.isdigit() for c in word)
+        return lambda w: (
+            len(w) >= 3 and w.istitle() and not any(c.isdigit() for c in w)
         ) == arg
-    if op == "lookup":
-        return word in ds[arg]
-    if op == "neg_lookup":
-        return word not in ds[arg]
+    if op in ("lookup", "neg_lookup"):
+        ws = ds[arg]
+        items = getattr(ws, "items", ws)
+        norm = getattr(ws, "match_norm", None)
+        if op == "lookup":
+            if norm is None:
+                return lambda w: w in items
+            return lambda w: norm(w) in items
+        if norm is None:
+            return lambda w: w not in items
+        return lambda w: norm(w) not in items
     if op == "and":
-        return all(match_position(p, word, ds) for p in arg)
+        fns = [compile_position(p, ds) for p in arg]
+        return lambda w: all(f(w) for f in fns)
     if op == "or":
-        return any(match_position(p, word, ds) for p in arg)
+        fns = [compile_position(p, ds) for p in arg]
+        return lambda w: any(f(w) for f in fns)
     raise NotImplementedError(f"unknown pattern predicate {op!r}")
+
+
+def match_position(pred: dict, word: str, ds) -> bool:
+    """Uncompiled single-shot form (tests / ad-hoc use)."""
+    return compile_position(pred, ds)(word)
 
 
 def match_sequence(
     text: str,
     toks: Sequence[Tok],
-    pattern: Sequence[dict],
+    pattern: Sequence,
     start_i: int,
-    ds,
+    ds=None,
     *,
     direction: str = "right",
     skip: frozenset[str] | set[str] = frozenset(),
@@ -106,13 +123,16 @@ def match_sequence(
     priority: int = 0,
 ) -> Optional[Mention]:
     """Match ``pattern`` token-by-token from ``start_i`` going right or left
-    (reference _match_sequence, deduce/annotator.py:145-196)."""
+    (reference _match_sequence, deduce/annotator.py:145-196).  ``pattern``
+    holds position dicts (compiled here) or precompiled closures."""
     delta = 1 if direction == "right" else -1
     order = pattern if direction == "right" else list(reversed(pattern))
     cur: Optional[int] = start_i
     last = start_i
     for pred in order:
-        if cur is None or not match_position(pred, toks[cur].text, ds):
+        if not callable(pred):
+            pred = compile_position(pred, ds)
+        if cur is None or not pred(toks[cur].text):
             return None
         last = cur
         cur = step_skip(toks, cur, delta, skip)
@@ -145,26 +165,31 @@ class TokenPatternAnnotator:
         self.skip = frozenset(skip or ())
         self.tag = tag
         self.priority = priority
+        self._compiled = [compile_position(p, ds) for p in pattern]
         self._start_words = None
         if pattern and "lookup" in pattern[0]:
             if ds is None:
                 raise RuntimeError("lookup pattern requires datastructures")
             # candidate-start gate: only tokens in the first position's set
-            self._start_words = ds[pattern[0]["lookup"]]
+            ws = ds[pattern[0]["lookup"]]
+            if getattr(ws, "match_norm", None) is None:
+                self._start_words = getattr(ws, "items", ws)
+            else:  # gate must apply the set's matching pipeline
+                self._start_words = ws
 
     def annotate(self, doc: Doc) -> list[Mention]:
         toks = doc.toks
         out = []
         gate = self._start_words
+        compiled = self._compiled
         for i in range(len(toks)):
             if gate is not None and toks[i].text not in gate:
                 continue
             m = match_sequence(
                 doc.text,
                 toks,
-                self.pattern,
+                compiled,
                 i,
-                self.ds,
                 direction="right",
                 skip=self.skip,
                 tag=self.tag,
@@ -173,6 +198,19 @@ class TokenPatternAnnotator:
             if m is not None:
                 out.append(m)
         return out
+
+    # compiled predicate closures are not picklable; rebuild after transfer
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_compiled", None)
+        state.pop("_start_words", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__init__(
+            state["pattern"], ds=state["ds"], skip=list(state["skip"]),
+            tag=state["tag"], priority=state["priority"],
+        )
 
 
 class ContextAnnotator:
@@ -183,6 +221,20 @@ class ContextAnnotator:
         self.patterns = pattern
         self.ds = ds
         self.iterative = iterative
+        self._compiled = {
+            id(cpat): [compile_position(p, ds) for p in cpat["pattern"]]
+            for cpat in pattern
+        }
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_compiled", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__init__(
+            state["patterns"], ds=state["ds"], iterative=state["iterative"]
+        )
 
     def _anchor(self, toks: Sequence[Tok], mention: Mention, right: bool) -> Optional[int]:
         i = mention.end_i if right else mention.start_i
@@ -211,7 +263,7 @@ class ContextAnnotator:
             ext = match_sequence(
                 text,
                 toks,
-                cpat["pattern"],
+                self._compiled.get(id(cpat), cpat["pattern"]),
                 start_i,
                 self.ds,
                 direction=direction,
@@ -269,17 +321,19 @@ class MultiTokenLookupAnnotator:
 
     def annotate(self, doc: Doc) -> list[Mention]:
         toks = doc.toks
-        words = [t.text for t in toks]
         text = doc.text
         phrases = self.phrases
-        by_first = phrases.by_first
         norm = phrases.norm
+        # normalize the token array once per document, not once per probe
+        words = [t.text for t in toks] if norm is None else [
+            norm(t.text) for t in toks
+        ]
+        by_first = phrases.by_first
         out = []
         i = 0
         n = len(toks)
         while i < n:
-            w = words[i] if norm is None else norm(words[i])
-            if w not in by_first:
+            if words[i] not in by_first:
                 i += 1
                 continue
             m = phrases.longest_match(words, i)

@@ -37,24 +37,25 @@ class Tok(NamedTuple):
 class PhraseSet:
     """Multi-word phrase dictionary with longest-prefix matching.
 
-    Flat layout instead of a pointer trie: ``first word -> suffix tuples
-    sorted longest-first``.  Equivalent to the reference's LookupTrie
+    Hash layout instead of a pointer trie: ``first word -> [(suffix_len,
+    frozenset of suffix tuples), longest first]``.  Matching probes one
+    hash set per distinct phrase length under a first word (a handful)
+    instead of walking trie nodes — equivalent to the reference LookupTrie
     ``longest_matching_prefix`` (reference deduce/tokenizer.py:88-96,
-    deduce/utils.py:261-280) but O(1)-gated on the first word and
-    memory-lean enough to broadcast at full dictionary scale.
+    deduce/utils.py:261-280), O(1)-gated on the first word, and memory-lean
+    enough to broadcast at full dictionary scale (~770k street phrases).
 
-    ``norm`` is an optional per-word normalizer applied both at build and at
-    match time (the trie's matching_pipeline, e.g. lowercase for hospitals,
-    reference deduce/lookup_struct_loader.py:208).
+    ``norm`` is the match-time normalization pipeline (e.g. lowercase for
+    hospitals, reference deduce/lookup_struct_loader.py:208), applied to
+    items at build; CALLERS pass already-normalized word sequences to
+    ``longest_match`` (normalize the token array once per document, not
+    once per probe).
     """
 
     __slots__ = ("by_first", "norm", "max_len", "_dirty")
 
     def __init__(self, norm=None) -> None:
-        # first word -> suffix tuples; kept as a set while building, turned
-        # into a longest-first list on first lookup (insert-heavy build at
-        # dictionary scale, read-heavy afterwards)
-        self.by_first: dict[str, list[tuple[str, ...]] | set[tuple[str, ...]]] = {}
+        self.by_first: dict[str, object] = {}  # building: set; frozen: list
         self.norm = norm
         self.max_len = 0
         self._dirty = False
@@ -68,45 +69,43 @@ class PhraseSet:
         if bucket is None:
             bucket = self.by_first[words[0]] = set()
         elif not isinstance(bucket, set):
-            bucket = self.by_first[words[0]] = set(bucket)
+            bucket = self.by_first[words[0]] = {
+                s for _, sset in bucket for s in sset
+            }
         bucket.add(tuple(words[1:]))
         if len(words) > self.max_len:
             self.max_len = len(words)
         self._dirty = True
 
     def freeze(self) -> None:
-        """Finalize buckets to longest-first lists (idempotent)."""
+        """Finalize buckets to [(len, frozenset), ...] longest-first."""
         if self._dirty:
             for key, bucket in self.by_first.items():
-                self.by_first[key] = sorted(bucket, key=len, reverse=True)
+                by_len: dict[int, set] = {}
+                for suffix in bucket:
+                    by_len.setdefault(len(suffix), set()).add(suffix)
+                self.by_first[key] = [
+                    (ls, frozenset(by_len[ls])) for ls in sorted(by_len, reverse=True)
+                ]
             self._dirty = False
 
     def __len__(self) -> int:
-        return sum(len(v) for v in self.by_first.values())
+        self.freeze()
+        return sum(len(sset) for v in self.by_first.values() for _, sset in v)
 
     def longest_match(self, words: Sequence[str], i: int) -> Optional[int]:
-        """Length (in words) of the longest phrase matching words[i:], or None."""
+        """Length (in words) of the longest phrase matching words[i:], or
+        None.  ``words`` must already be normalized per ``norm``."""
         if self._dirty:
             self.freeze()
-        w = words[i] if self.norm is None else self.norm(words[i])
-        bucket = self.by_first.get(w)
+        bucket = self.by_first.get(words[i])
         if bucket is None:
             return None
         n = len(words)
-        norm = self.norm
-        for suffix in bucket:  # longest first
-            ls = len(suffix)
+        for ls, sset in bucket:  # longest first
             if i + 1 + ls > n:  # not enough tokens left
                 continue
-            ok = True
-            for k in range(ls):
-                nxt = words[i + 1 + k]
-                if norm is not None:
-                    nxt = norm(nxt)
-                if nxt != suffix[k]:
-                    ok = False
-                    break
-            if ok:
+            if ls == 0 or tuple(words[i + 1 : i + 1 + ls]) in sset:
                 return ls + 1
         return None
 

@@ -93,12 +93,12 @@ class AnnotatePipeline:
         cols = ["url", "warc_ts", "lang"] + (["html"] if from_html else ["text"])
         pages = pages.select(*cols)
         # the per-page phase is CPU-bound Python, not IO-bound: parallelism
-        # must track cores, not input bytes.  Small local inputs arrive as a
-        # handful of parquet row groups — fan them out; big inputs already
-        # have >= cores partitions and are left alone (no gratuitous shuffle).
-        target = self.spark.sparkContext.defaultParallelism * 2
-        if pages.rdd.getNumPartitions() < target:
-            pages = pages.repartition(target)
+        # must track cores, not input bytes.  Inputs that scan with at least
+        # one partition per core are left alone (no gratuitous shuffle of
+        # page bytes); narrower inputs are fanned out to 2 x cores.
+        cores = self.spark.sparkContext.defaultParallelism
+        if pages.rdd.getNumPartitions() < cores:
+            pages = pages.repartition(2 * cores)
         bc = self._engine_bc
         token = self._token
 
