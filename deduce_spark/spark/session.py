@@ -37,12 +37,13 @@ def get_spark(
         # pages can be ~100KB of text; bound Arrow batches so UDF workers
         # hold at most a few hundred MB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # CPU-bound pandas-UDF stages need partitions ≈ several × cores, not
-        # 128MB-of-bytes: a coarse scan serializes the pipeline's first stage
-        # (measured: 8→32-core efficiency 0.58 at 128MB vs ~0.8 at 16MB).
-        # On an IO-bound pure-SQL cluster profile, raise these back up.
-        .config("spark.sql.files.maxPartitionBytes", "16777216")
-        .config("spark.sql.files.openCostInBytes", "1048576")
+        # CPU-bound pandas-UDF stages want >= 4 task waves per core for
+        # smooth packing, not 128MB-of-bytes partitions: a coarse scan both
+        # serializes the first stage and leaves cores idle in the last wave
+        # (measured: 58 partitions on 32 cores -> 1.8 waves -> 25% idle
+        # tail).  On an IO-bound pure-SQL profile, raise these back up.
+        .config("spark.sql.files.maxPartitionBytes", "4194304")
+        .config("spark.sql.files.openCostInBytes", "524288")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")

@@ -79,6 +79,7 @@ class AnnotatePipeline:
         lang: Optional[str] = "nl",
         from_html: bool = True,
         with_redacted: bool = True,
+        with_text: bool = True,
         enabled: Optional[set[str]] = None,
     ) -> DataFrame:
         """pages(url, warc_ts, html, text?, lang) -> annotated pages.
@@ -87,6 +88,9 @@ class AnnotatePipeline:
         html bytes with the kernel extractor — the byte-identical-per-url
         invariant versus the oracle.  The lang filter is a plain column
         predicate, so Catalyst pushes it into the parquet scan.
+        ``with_text=False`` / ``with_redacted=False`` drop the wide string
+        columns from the output (one third the Arrow traffic when only the
+        mention spans are consumed downstream).
         """
         if lang is not None:
             pages = pages.filter(F.col("lang") == lang)
@@ -125,18 +129,27 @@ class AnnotatePipeline:
                     redacted_col.append(
                         doc.metadata.get("redacted_text") if with_redacted else None
                     )
-                yield pd.DataFrame(
-                    {
-                        "url": batch["url"],
-                        "warc_ts": batch["warc_ts"],
-                        "lang": batch["lang"],
-                        "text": texts,
-                        "mentions": mentions_col,
-                        "redacted_text": redacted_col,
-                    }
-                )
+                out = {
+                    "url": batch["url"],
+                    "warc_ts": batch["warc_ts"],
+                    "lang": batch["lang"],
+                }
+                if with_text:
+                    out["text"] = texts
+                out["mentions"] = mentions_col
+                if with_redacted:
+                    out["redacted_text"] = redacted_col
+                yield pd.DataFrame(out)
 
-        return pages.mapInPandas(run, schema=ANNOTATED_SCHEMA)
+        schema = T.StructType(
+            [
+                f
+                for f in ANNOTATED_SCHEMA.fields
+                if (with_text or f.name != "text")
+                and (with_redacted or f.name != "redacted_text")
+            ]
+        )
+        return pages.mapInPandas(run, schema=schema)
 
     # -- long-format mentions --------------------------------------------
 
