@@ -77,6 +77,7 @@ def surfaces(mentions: DataFrame) -> DataFrame:
 _SIG_SCHEMA = T.StructType(
     [
         T.StructField("surface_id", T.LongType()),
+        T.StructField("type", T.StringType()),
         T.StructField("sig", T.ArrayType(T.LongType())),
     ]
 )
@@ -92,7 +93,7 @@ def _shingle_hashes(s: str) -> np.ndarray:
 
 
 def surface_signatures(surf: DataFrame) -> DataFrame:
-    """(surface_id, surface) -> (surface_id, 64-long minhash signature)."""
+    """(surface_id, type, surface) -> (surface_id, type, minhash sig)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -103,22 +104,33 @@ def surface_signatures(surf: DataFrame) -> DataFrame:
                 v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
                 sigs.append([int(x) for x in v.min(axis=1)])
                 ids.append(int(sid))
-            yield pd.DataFrame({"surface_id": ids, "sig": sigs})
+            yield pd.DataFrame(
+                {"surface_id": ids, "type": batch["type"], "sig": sigs}
+            )
 
-    return surf.select("surface_id", "surface").mapInPandas(run, schema=_SIG_SCHEMA)
+    return surf.select("surface_id", "type", "surface").mapInPandas(
+        run, schema=_SIG_SCHEMA
+    )
 
 
 def candidate_pairs(
     sigs: DataFrame,
     n_bands: int = SURFACE_BANDS,
     min_jaccard: float = SURFACE_JACCARD,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """LSH banding over signatures -> bucket self-join -> pairs verified by
-    the signature-estimated jaccard.  Banding is native (xxhash64 over sig
-    slices), the verify is a higher-order array compare — no extra UDF."""
+    """LSH banding over signatures -> bucket self-join (same type only) ->
+    pairs verified by the signature-estimated jaccard.
+
+    Buckets larger than ``max_bucket`` are dropped whole (deterministic):
+    a bucket with B members costs B²/2 join rows, so one hot bucket —
+    boilerplate strings, template dates — can dominate the entire stage at
+    scale.  Banding is native (xxhash64 over sig slices), the verify is a
+    higher-order array compare — no extra UDF."""
     rows_per_band = N_HASHES // n_bands
     banded = sigs.select(
         "surface_id",
+        "type",
         F.posexplode(
             F.array(
                 *[
@@ -128,11 +140,18 @@ def candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("type", "band", "band_key")
+    banded = banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("bucket_size") <= max_bucket
+    ).drop("bucket_size")
     pairs = (
         banded.alias("l")
         .join(
             banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
+            (F.col("l.type") == F.col("r.type"))
+            & (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.surface_id") < F.col("r.surface_id")),
         )
@@ -231,14 +250,26 @@ def connected_components(
     return labels
 
 
-def canonicalize(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+FUZZY_TYPES = ("PERSOON", "LOCATIE", "INSTELLING")
+
+
+def canonicalize(
+    mentions: DataFrame, fuzzy_types: tuple[str, ...] = FUZZY_TYPES
+) -> tuple[DataFrame, DataFrame]:
     """mentions -> (surface_map, nodes).
 
     surface_map: (surface, type, surface_id, entity_id)
     nodes:       (entity_id, type, canonical_form, n_mentions)
+
+    Only name-like types go through MinHash-LSH fuzzy merging; DATUM/PHI
+    surfaces are identity-canonicalized — '10 oktober 2018' and
+    '11 oktober 2018' are different entities even though their edit
+    distance is 1 (fuzzy-merging dates also creates quadratic hot
+    clusters at scale).
     """
     surf = surfaces(mentions).cache()
-    sigs = surface_signatures(surf).cache()
+    fuzzy = surf.filter(F.col("type").isin(*fuzzy_types))
+    sigs = surface_signatures(fuzzy).cache()
     pairs = candidate_pairs(sigs)
     comp = connected_components(pairs)
     surface_map = (

@@ -22,17 +22,18 @@ def test_surfaces_dedupe(mentions):
 
 def test_minhash_deterministic(spark, mentions):
     surf = kg.surfaces(mentions)
-    s1 = kg.surface_signatures(surf).orderBy("surface_id").collect()
-    s2 = kg.surface_signatures(surf).orderBy("surface_id").collect()
+    s1 = kg.surface_signatures(surf.withColumn("type", F.lit("PERSOON"))).orderBy("surface_id").collect()
+    s2 = kg.surface_signatures(surf.withColumn("type", F.lit("PERSOON"))).orderBy("surface_id").collect()
     assert s1 == s2
     assert all(len(r["sig"]) == kg.N_HASHES for r in s1)
 
 
 def test_candidate_pairs_merge_typo_variants(spark):
     surf = spark.createDataFrame(
-        [(1, "albert schweitzer ziekenhuis"), (2, "albert schweizer ziekenhuis"),
-         (3, "dagblad van het noorden")],
-        ["surface_id", "surface"],
+        [(1, "INSTELLING", "albert schweitzer ziekenhuis"),
+         (2, "INSTELLING", "albert schweizer ziekenhuis"),
+         (3, "INSTELLING", "dagblad van het noorden")],
+        ["surface_id", "type", "surface"],
     )
     sigs = kg.surface_signatures(surf)
     pairs = {(r["a"], r["b"]) for r in kg.candidate_pairs(sigs).collect()}
