@@ -20,7 +20,22 @@ from deduce_spark.kernel.tokenize import Tokenizer
 
 logger = logging.getLogger(__name__)
 
-_DEFAULT_CACHE_DIR = Path(__file__).resolve().parent.parent.parent / "data" / "cache"
+def _default_cache_dir() -> Path:
+    """Repo-local data/cache when the package sits on a real filesystem;
+    when shipped inside a --py-files zip, ``__file__`` points INTO the
+    archive, so fall back to $DEDUCE_SPARK_CACHE or ~/.cache/deduce_spark."""
+    import os
+
+    env = os.environ.get("DEDUCE_SPARK_CACHE")
+    if env:
+        return Path(env)
+    repo_local = Path(__file__).resolve().parent.parent.parent
+    if repo_local.is_dir():
+        return repo_local / "data" / "cache"
+    return Path.home() / ".cache" / "deduce_spark"
+
+
+_DEFAULT_CACHE_DIR = _default_cache_dir()
 
 
 def source_digest(lookup_path: Path) -> str:

@@ -1,0 +1,246 @@
+"""Iceberg-layout Parquet tables: snapshots, manifests, partition overwrite.
+
+No Iceberg jars ship with the installed pyspark (SURVEY.md env fact #2), so
+the north_rule's "partitioned Iceberg outputs" are implemented as the same
+*contract* over plain Parquet plus our own metadata layer:
+
+    <root>/
+      data/snap-<N>/<part_col>=<v>/...parquet   (immutable once committed)
+      metadata/
+        snap-<N>.json          one manifest per snapshot: the complete list
+                               of live partition directories with row/byte
+                               stats (footer-derived, no data read)
+        v<N>.metadata.json     table metadata: schema, partition spec,
+                               current snapshot, snapshot log
+        version-hint.text      current version (atomic os.replace commit,
+                               same trick as Iceberg's HadoopTableOperations)
+
+Semantics carried over from Iceberg proper:
+
+* **snapshot isolation** — readers resolve version-hint once and only ever
+  see the file set of a committed manifest; a writer crash before the final
+  ``os.replace`` leaves orphan data files but no visible change;
+* **dynamic partition overwrite** — ``mode="overwrite-partitions"`` replaces
+  exactly the partitions present in the incoming DataFrame and inherits the
+  rest from the previous snapshot (this is what makes per-partition resume
+  idempotent: re-running a part swaps its output, never duplicates it);
+* **manifest-side partition pruning** — ``read(partition_filter=...)``
+  selects partition directories from the manifest before Spark ever lists a
+  file (on a 10^12-row table the file listing itself is the bottleneck;
+  Iceberg prunes from manifests for the same reason);
+* **time travel** — ``read(snapshot_id=...)`` and ``snapshots()``.
+
+A config switch to real Iceberg (``spark.write.format("iceberg")``) when the
+runtime has the jars is a drop-in: every call site goes through this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMAT_VERSION = 1
+
+
+def _atomic_write(path: Path, text: str) -> None:
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)  # POSIX-atomic within a directory
+
+
+def _parse_partition_dir(rel: str) -> dict[str, str]:
+    """'part_id=3/pred=mentions' -> {'part_id': '3', 'pred': 'mentions'}."""
+    out: dict[str, str] = {}
+    for seg in rel.split("/"):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+class IceTable:
+    """One table rooted at ``root``; all mutation goes through ``write``."""
+
+    def __init__(self, root: str | Path) -> None:
+        self.root = Path(root)
+        self.meta_dir = self.root / "metadata"
+
+    # -- metadata plumbing -------------------------------------------------
+
+    def exists(self) -> bool:
+        return (self.meta_dir / "version-hint.text").exists()
+
+    def current_version(self) -> int:
+        hint = self.meta_dir / "version-hint.text"
+        if not hint.exists():
+            return 0
+        return int(hint.read_text().strip())
+
+    def _metadata(self, version: Optional[int] = None) -> dict:
+        v = self.current_version() if version is None else version
+        return json.loads((self.meta_dir / f"v{v}.metadata.json").read_text())
+
+    def manifest(self, snapshot_id: Optional[int] = None) -> dict:
+        sid = snapshot_id
+        if sid is None:
+            sid = self._metadata()["current_snapshot_id"]
+        return json.loads((self.meta_dir / f"snap-{sid}.json").read_text())
+
+    def snapshots(self) -> list[dict]:
+        if not self.exists():
+            return []
+        return self._metadata()["snapshot_log"]
+
+    def partition_stats(self, snapshot_id: Optional[int] = None) -> list[dict]:
+        """Per-partition (values, rows, bytes, files) from the manifest —
+        the metrics table the north_rule asks for, derived without reading
+        a single data row."""
+        return [
+            {
+                "partition": e["partition"],
+                "rows": e["rows"],
+                "bytes": e["bytes"],
+                "files": len(e["files"]),
+            }
+            for e in self.manifest(snapshot_id)["entries"]
+        ]
+
+    # -- write ---------------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        mode: str = "overwrite-partitions",
+        summary: Optional[dict] = None,
+    ) -> dict:
+        """Commit ``df`` as a new snapshot; returns the manifest.
+
+        mode: 'append' | 'overwrite' (whole table) | 'overwrite-partitions'
+        (replace only partitions present in ``df``; == 'overwrite' for an
+        unpartitioned table).
+        """
+        if mode not in ("append", "overwrite", "overwrite-partitions"):
+            raise ValueError(f"unknown mode {mode!r}")
+        version = self.current_version() + 1
+        snap_rel = f"data/snap-{version}"
+        snap_dir = self.root / snap_rel
+        writer = df.write.mode("overwrite")  # fresh snap dir — never shared
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(str(snap_dir))
+
+        new_entries = self._scan_snap_dir(snap_rel, tuple(partition_by))
+        if mode == "append" and self.exists():
+            prev = self.manifest()["entries"]
+            entries = prev + new_entries
+        elif mode == "overwrite-partitions" and self.exists() and partition_by:
+            written = {json.dumps(e["partition"], sort_keys=True) for e in new_entries}
+            prev = [
+                e
+                for e in self.manifest()["entries"]
+                if json.dumps(e["partition"], sort_keys=True) not in written
+            ]
+            entries = prev + new_entries
+        else:
+            entries = new_entries
+
+        man = {
+            "snapshot_id": version,
+            "operation": mode,
+            "partition_spec": list(partition_by),
+            "entries": entries,
+            "summary": dict(
+                summary or {},
+                total_rows=sum(e["rows"] for e in entries),
+                total_bytes=sum(e["bytes"] for e in entries),
+                total_files=sum(len(e["files"]) for e in entries),
+                added_rows=sum(e["rows"] for e in new_entries),
+                added_files=sum(len(e["files"]) for e in new_entries),
+            ),
+        }
+        self.meta_dir.mkdir(parents=True, exist_ok=True)
+        _atomic_write(self.meta_dir / f"snap-{version}.json", json.dumps(man, indent=1))
+        log = self.snapshots() + [
+            {"snapshot_id": version, "operation": mode, "summary": man["summary"]}
+        ]
+        meta = {
+            "format_version": _FORMAT_VERSION,
+            "schema_json": df.schema.json(),
+            "partition_spec": list(partition_by),
+            "current_snapshot_id": version,
+            "snapshot_log": log,
+        }
+        _atomic_write(self.meta_dir / f"v{version}.metadata.json", json.dumps(meta, indent=1))
+        # the commit point: everything before this is invisible to readers
+        _atomic_write(self.meta_dir / "version-hint.text", str(version))
+        return man
+
+    def _scan_snap_dir(self, snap_rel: str, partition_by: tuple) -> list[dict]:
+        """Footer-only stats for every partition dir under one snap dir."""
+        import pyarrow.parquet as pq
+
+        snap_dir = self.root / snap_rel
+        by_part: dict[str, dict] = {}
+        for p in sorted(snap_dir.rglob("*.parquet")):
+            rel_in_snap = p.parent.relative_to(snap_dir).as_posix()
+            part_vals = _parse_partition_dir(rel_in_snap) if partition_by else {}
+            key = json.dumps(part_vals, sort_keys=True)
+            entry = by_part.setdefault(
+                key,
+                {
+                    "partition": part_vals,
+                    "dir": f"{snap_rel}/{rel_in_snap}" if rel_in_snap != "." else snap_rel,
+                    "files": [],
+                    "rows": 0,
+                    "bytes": 0,
+                },
+            )
+            meta = pq.ParquetFile(p).metadata
+            entry["files"].append(p.name)
+            entry["rows"] += meta.num_rows
+            entry["bytes"] += p.stat().st_size
+        return list(by_part.values())
+
+    # -- read ----------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: Optional[int] = None,
+        partition_filter: Optional[Callable[[dict], bool]] = None,
+    ) -> DataFrame:
+        """DataFrame of the snapshot's live file set.
+
+        ``partition_filter`` prunes partition directories manifest-side
+        (receives the partition-values dict, e.g. {'part_id': '3'}) before
+        Spark lists anything.  Entries are grouped per snap dir so Spark's
+        own partition-column discovery (basePath) still applies; the final
+        plan is a union of parquet scans — column pruning and predicate
+        pushdown reach every leaf.
+        """
+        man = self.manifest(snapshot_id)
+        entries = man["entries"]
+        if partition_filter is not None:
+            entries = [e for e in entries if partition_filter(e["partition"])]
+        if not entries:
+            import pyspark.sql.types as T
+
+            schema = T.StructType.fromJson(json.loads(self._metadata()["schema_json"]))
+            return spark.createDataFrame([], schema)
+        by_snap: dict[str, list[str]] = {}
+        for e in entries:
+            snap_rel = "/".join(e["dir"].split("/")[:2])  # data/snap-N
+            by_snap.setdefault(snap_rel, []).append(str(self.root / e["dir"]))
+        dfs = []
+        for snap_rel, dirs in sorted(by_snap.items()):
+            reader = spark.read.option("basePath", str(self.root / snap_rel))
+            dfs.append(reader.parquet(*sorted(dirs)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out

@@ -1,0 +1,204 @@
+"""End-to-end KG build job — the spark-submit entry point.
+
+    python jobs/package_pyfiles.py                   # -> dist/kgspark.zip
+    spark-submit --py-files dist/kgspark.zip \\
+        jobs/build_kg.py --input /root/testdata/sf0.01-pages \\
+        --output /tmp/kg --n-parts 64
+
+Re-running the same command resumes: parts whose (part_id, input_hash)
+already have an ok lineage row are skipped; changed or new parts are
+recomputed and their output partitions swapped atomically (icetable
+dynamic partition overwrite).  ``--no-resume`` forces a full rebuild.
+
+Outputs under --output (all Iceberg-layout tables, see icetable.py):
+    mentions/   (url, warc_ts, text, start_char, end_char, tag, priority)
+                partitioned by part_id — the resumable checkpoint
+    nodes/      (entity_id, type, canonical_form, n_mentions)
+    edges/      (subj, pred, obj, url, warc_ts) partitioned by pred
+    _lineage/   per-part + per-stage lineage/metrics (JSON-lines)
+
+Stage A (annotate -> mentions) is the CPU-bound, shuffle-free, resumable
+phase.  Stage B (LSH canonicalization -> nodes/edges) is global — it
+recomputes from the committed mentions table, which keeps resume exact
+without trying to checkpoint a shuffle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _read_pages(spark: SparkSession, path: str):
+    from deduce_spark.spark.icetable import IceTable
+
+    t = IceTable(path)
+    if t.exists():
+        return t.read(spark)
+    return spark.read.parquet(path)
+
+
+def run_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    n_parts: int = 64,
+    resume: bool = True,
+    lang: str | None = "nl",
+    from_html: bool = True,
+    with_cooccurrence: bool = True,
+    engine=None,
+) -> dict:
+    from deduce_spark.spark import lineage as lin
+    from deduce_spark.spark.icetable import IceTable
+    from deduce_spark.spark.kg import canonicalize, salted_repartition, triples
+    from deduce_spark.spark.stages import AnnotatePipeline
+
+    out = Path(output_path)
+    log = lin.LineageLog(out / "_lineage")
+    run_id = uuid.uuid4().hex[:12]
+    seq = log.next_seq()
+    mentions_table = IceTable(out / "mentions")
+
+    # -- plan ---------------------------------------------------------------
+    pages = lin.with_part_id(_read_pages(spark, input_path), n_parts)
+    manifest_rows = [r.asDict() for r in lin.part_manifest(pages).collect()]
+    # changing n_parts relabels every row: prior partitions are garbage, so
+    # the checkpoint must be rebuilt whole (overwrite-partitions would leave
+    # stale part dirs from the old layout live in the manifest)
+    prior_n_parts = (
+        mentions_table.manifest()["summary"].get("n_parts")
+        if mentions_table.exists()
+        else None
+    )
+    layout_changed = prior_n_parts is not None and prior_n_parts != n_parts
+    if resume and mentions_table.exists() and not layout_changed:
+        todo, skipped = lin.plan_resume(manifest_rows, log)
+    else:
+        todo = sorted(int(r["part_id"]) for r in manifest_rows)
+        skipped = []
+    summary: dict = {
+        "run_id": run_id,
+        "n_parts": n_parts,
+        "parts_total": len(manifest_rows),
+        "parts_skipped": len(skipped),
+        "parts_processed": len(todo),
+    }
+
+    # -- stage A: annotate -> mentions checkpoint (resumable) ---------------
+    if todo:
+        t0 = time.monotonic()
+        pipe = AnnotatePipeline(spark, engine)
+        subset = pages.filter(F.col("part_id").isin([int(p) for p in todo]))
+        annotated = pipe.annotate_pages(
+            subset, lang=lang, from_html=from_html,
+            with_text=False, with_redacted=False,
+        )
+        mentions = (
+            pipe.mentions_long(annotated)
+            .withColumn("part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int"))
+            .repartition("part_id")  # one output file per part, not tasks x parts
+        )
+        man = mentions_table.write(
+            mentions,
+            partition_by=("part_id",),
+            mode="overwrite" if layout_changed else "overwrite-partitions",
+            summary={"run_id": run_id, "stage": "annotate", "n_parts": n_parts},
+        )
+        wall = time.monotonic() - t0
+        rows_out = {
+            int(e["partition"]["part_id"]): e["rows"]
+            for e in man["entries"]
+            if "part_id" in e["partition"]
+        }
+        log.append(
+            lin.part_records(
+                manifest_rows, todo, rows_out, seq, run_id,
+                man["snapshot_id"], wall,
+            )
+            + [lin.stage_record(
+                "annotate", seq, run_id,
+                rows=man["summary"]["added_rows"], wall_s=wall,
+                snapshot_id=man["snapshot_id"], parts=len(todo),
+            )]
+        )
+        summary["annotate_wall_s"] = round(wall, 3)
+        summary["mentions_rows_written"] = man["summary"]["added_rows"]
+
+    # -- stage B: global canonicalize + triples (recomputed, idempotent) ----
+    t0 = time.monotonic()
+    mentions_all = mentions_table.read(spark)
+    surface_map, nodes = canonicalize(mentions_all)
+    edges = triples(mentions_all, surface_map, with_cooccurrence=with_cooccurrence)
+    edges = salted_repartition(edges, spark.sparkContext.defaultParallelism)
+    nodes_man = IceTable(out / "nodes").write(
+        nodes, mode="overwrite", summary={"run_id": run_id, "stage": "kg"}
+    )
+    edges_man = IceTable(out / "edges").write(
+        edges, partition_by=("pred",), mode="overwrite",
+        summary={"run_id": run_id, "stage": "kg"},
+    )
+    wall = time.monotonic() - t0
+    log.append(
+        [
+            lin.stage_record(
+                "canonicalize_nodes", seq, run_id,
+                rows=nodes_man["summary"]["total_rows"], wall_s=wall,
+                snapshot_id=nodes_man["snapshot_id"],
+            ),
+            lin.stage_record(
+                "triples_edges", seq, run_id,
+                rows=edges_man["summary"]["total_rows"], wall_s=wall,
+                snapshot_id=edges_man["snapshot_id"],
+            ),
+        ]
+    )
+    summary["kg_wall_s"] = round(wall, 3)
+    summary["nodes_rows"] = nodes_man["summary"]["total_rows"]
+    summary["edges_rows"] = edges_man["summary"]["total_rows"]
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages parquet dir or icetable root")
+    ap.add_argument("--output", required=True, help="KG output root")
+    ap.add_argument("--n-parts", type=int, default=64)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--lang", default="nl", help="'' disables the lang filter")
+    ap.add_argument("--from-text", action="store_true",
+                    help="use the text column instead of extracting from html")
+    ap.add_argument("--no-cooccurrence", action="store_true")
+    ap.add_argument("--master", default=None, help="e.g. local[8]; default from env")
+    args = ap.parse_args(argv)
+
+    from deduce_spark.spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="build_kg")
+    try:
+        summary = run_job(
+            spark,
+            args.input,
+            args.output,
+            n_parts=args.n_parts,
+            resume=not args.no_resume,
+            lang=args.lang or None,
+            from_html=not args.from_text,
+            with_cooccurrence=not args.no_cooccurrence,
+        )
+    finally:
+        spark.stop()
+    import json
+
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""Per-partition lineage + exact resume through jobs/build_kg.run_job."""
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "jobs"))
+
+from build_kg import run_job  # noqa: E402
+
+from deduce_spark.spark import lineage as lin  # noqa: E402
+from deduce_spark.spark.icetable import IceTable  # noqa: E402
+
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def kg_out(tmp_path_factory):
+    return tmp_path_factory.mktemp("kg_out")
+
+
+def test_first_run_processes_all_parts(spark, engine, pages_path, kg_out):
+    s = run_job(spark, pages_path, str(kg_out), n_parts=N_PARTS, engine=engine)
+    assert s["parts_processed"] == N_PARTS and s["parts_skipped"] == 0
+    mt = IceTable(kg_out / "mentions")
+    assert mt.exists()
+    # lineage rows_out agree with the committed manifest, part by part
+    log = lin.LineageLog(kg_out / "_lineage")
+    recs = {r["part_id"]: r for r in log.records() if r["kind"] == "part"}
+    stats = {int(e["partition"]["part_id"]): e["rows"]
+             for e in mt.manifest()["entries"]}
+    assert len(recs) == N_PARTS
+    assert {p: r["rows_out"] for p, r in recs.items()} == stats
+    assert sum(r["rows_in"] for r in recs.values()) == 80  # every page fingerprinted
+    # KG outputs committed with expected predicate vocabulary
+    preds = {r.pred for r in IceTable(kg_out / "edges").read(spark)
+             .select("pred").distinct().collect()}
+    assert preds == {"mentions", "hasType", "hasSurfaceForm", "publishedAt",
+                     "coOccursWith"}
+    assert IceTable(kg_out / "nodes").read(spark).count() == s["nodes_rows"]
+
+
+def test_second_run_skips_everything(spark, engine, pages_path, kg_out):
+    before = IceTable(kg_out / "mentions").current_version()
+    s = run_job(spark, pages_path, str(kg_out), n_parts=N_PARTS, engine=engine)
+    assert s["parts_processed"] == 0 and s["parts_skipped"] == N_PARTS
+    # no new mentions snapshot was committed
+    assert IceTable(kg_out / "mentions").current_version() == before
+
+
+def test_changed_input_recomputes_only_touched_parts(
+    spark, engine, pages_path, kg_out, tmp_path
+):
+    # drop ONE page -> exactly one part's input_hash changes
+    pages = spark.read.parquet(pages_path)
+    victim = pages.select("url").orderBy("url").limit(1).collect()[0].url
+    changed_dir = str(tmp_path / "pages_changed")
+    pages.filter(F.col("url") != victim).write.parquet(changed_dir)
+    victim_part = (
+        lin.with_part_id(pages.filter(F.col("url") == victim), N_PARTS)
+        .select("part_id").collect()[0].part_id
+    )
+
+    baseline = {
+        int(e["partition"]["part_id"]): e["rows"]
+        for e in IceTable(kg_out / "mentions").manifest()["entries"]
+    }
+    s = run_job(spark, changed_dir, str(kg_out), n_parts=N_PARTS, engine=engine)
+    assert s["parts_processed"] == 1 and s["parts_skipped"] == N_PARTS - 1
+
+    after = {
+        int(e["partition"]["part_id"]): e["rows"]
+        for e in IceTable(kg_out / "mentions").manifest()["entries"]
+    }
+    # untouched parts inherited byte-for-byte; victim part swapped in place
+    for pid, rows in baseline.items():
+        if pid != victim_part:
+            assert after[pid] == rows
+    assert after[victim_part] <= baseline[victim_part]
+    # mentions table contents now exactly match a from-scratch annotate of
+    # the changed input (resume == recompute, the exact-resume guarantee)
+    total = IceTable(kg_out / "mentions").read(spark).count()
+    fresh_out = tmp_path / "kg_fresh"
+    s2 = run_job(spark, changed_dir, str(fresh_out), n_parts=N_PARTS,
+                 engine=engine, resume=False)
+    assert total == IceTable(fresh_out / "mentions").read(spark).count()
+    assert s2["parts_processed"] == N_PARTS
+
+
+def test_n_parts_change_forces_full_rebuild(spark, engine, pages_path, tmp_path):
+    # relabelling parts invalidates the whole checkpoint: stale partitions
+    # from the old layout must NOT survive in the manifest
+    out = tmp_path / "kg_np"
+    run_job(spark, pages_path, str(out), n_parts=4, engine=engine)
+    rows_4 = IceTable(out / "mentions").manifest()["summary"]["total_rows"]
+    s = run_job(spark, pages_path, str(out), n_parts=2, engine=engine)
+    assert s["parts_processed"] == 2 and s["parts_skipped"] == 0
+    man = IceTable(out / "mentions").manifest()
+    parts = {int(e["partition"]["part_id"]) for e in man["entries"]}
+    assert parts == {0, 1}
+    assert man["summary"]["total_rows"] == rows_4
+
+
+def test_part_manifest_is_layout_independent(spark, pages_path, tmp_path):
+    pages = lin.with_part_id(spark.read.parquet(pages_path), N_PARTS)
+    a = {r.part_id: (r.input_hash, r.rows_in)
+         for r in lin.part_manifest(pages).collect()}
+    relaid = str(tmp_path / "relaid")
+    spark.read.parquet(pages_path).repartition(7).write.parquet(relaid)
+    b = {r.part_id: (r.input_hash, r.rows_in)
+         for r in lin.part_manifest(
+             lin.with_part_id(spark.read.parquet(relaid), N_PARTS)).collect()}
+    assert a == b
