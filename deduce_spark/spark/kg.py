@@ -276,7 +276,9 @@ def canonicalize(
         surf.join(comp, "surface_id", "left")
         .withColumn("entity_id", F.coalesce("component", "surface_id"))
         .drop("component")
-    )
+    ).cache()  # consumed by canon + nodes here AND by the caller's
+    # triples() broadcast join — uncached, every consumer re-runs the
+    # whole LSH chain (measured 78s -> 31s for the sf0.1 triples query)
     # canonical form = most frequent surface in the component
     # (deterministic tie-break on surface string)
     from pyspark.sql import Window
