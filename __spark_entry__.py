@@ -30,6 +30,38 @@ _PAGES_CACHE = _REPO / "data" / "pages"
 _ENGINE = None
 _PIPELINE = None
 
+# RE2/Java-portable regexes shared verbatim between the Spark queries and
+# the DuckDB oracles (no lookaround — RE2 has none)
+_DATE_PAT = (
+    r"\b\d{1,2}[-/ ](?:januari|februari|maart|april|mei|juni|juli|augustus"
+    r"|september|oktober|november|december|jan|feb|mrt|apr|jun|jul|aug|sep"
+    r"|okt|nov|dec|\d{1,2})[-/ ]\d{4}\b"
+)
+_URL_PAT = (
+    r"https?://[-a-zA-Z0-9@:%._+~#=]{1,256}"
+    r"\.[a-z]{2,6}[-a-zA-Z0-9@:%_+.~#?&/=]*"
+)
+# deterministic date/url-bearing text derived from doc_id — identical SQL
+# expression evaluated by Spark and DuckDB (STRING is a VARCHAR alias in
+# DuckDB; ||, CASE and % are portable)
+_DERIVED_TEXT_SQL = (
+    "'Afspraak op ' || CAST(doc_id % 28 + 1 AS STRING)"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' januari '"
+    "         WHEN doc_id % 3 = 1 THEN '-10-'"
+    "         ELSE '/3/' END"
+    " || CAST(2000 + doc_id % 30 AS STRING)"
+    " || ', zie https://voorbeeld' || CAST(doc_id % 50 AS STRING)"
+    " || '.nl/pad?x=' || CAST(doc_id % 7 AS STRING) || ' einde.'"
+)
+_ID_TEXT_SQL = (
+    "'dossier ' || CAST(100000000 + doc_id AS STRING)"
+    " || ' en nota ' || CAST(7000000 + doc_id % 1000 AS STRING)"
+)
+_EMAIL_TEXT_SQL = (
+    "'mail user' || CAST(doc_id AS STRING)"
+    " || '@voorbeeld' || CAST(doc_id % 9 AS STRING) || '.nl verzonden'"
+)
+
 
 def _engine():
     global _ENGINE
@@ -321,13 +353,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- annotator families over documents (RE2-safe regex; oracled) ------
 
     def regex_identifiers(spark, sf_dir):
-        # identifier annotator semantics (7+ digit runs), relational form
+        # identifier annotator semantics (7+ digit runs), relational form;
+        # text derived from doc_id (testdata documents are digit-free)
         d = _docs(spark, sf_dir)
         return (
-            d.select(
+            d.select("doc_id", F.expr(_ID_TEXT_SQL).alias("t"))
+            .select(
                 "doc_id",
                 F.explode(
-                    F.regexp_extract_all(F.col("text"), F.lit(r"\d{7,}"), 0)
+                    F.regexp_extract_all(F.col("t"), F.lit(r"\d{7,}"), 0)
                 ).alias("id_text"),
             )
             .orderBy("doc_id", "id_text")
@@ -336,19 +370,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["regex_identifiers"] = regex_identifiers
 
     def regex_emails(spark, sf_dir):
+        # email annotator pattern (deduce/base_config.json email regex
+        # family), over doc_id-derived text (testdata has no emails)
         pat = r"[-a-zA-Z0-9:%._\+~#=]{1,256}@[-a-zA-Z0-9:%._\+~#=]{1,256}\.(?:com|net|org|co|us|uk|nl|be|fr|sp|gov|nu)"
         d = _docs(spark, sf_dir)
         return (
-            d.select(
+            d.select("doc_id", F.expr(_EMAIL_TEXT_SQL).alias("t"))
+            .select(
                 "doc_id",
                 F.explode(
-                    F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+                    F.regexp_extract_all(F.col("t"), F.lit(pat), 0)
                 ).alias("email"),
             )
             .orderBy("doc_id", "email")
         )
 
     q["regex_emails"] = regex_emails
+
+    def regex_dates(spark, sf_dir):
+        # dmy date shapes per the reference's date_dmy annotators
+        # (deduce/base_config.json:401-452), RE2/Java-portable subset.
+        # The testdata documents are date-free word salad, so the text is
+        # derived deterministically from doc_id with the SAME expression
+        # in the oracle — non-vacuous extraction with nonzero matches.
+        d = _docs(spark, sf_dir)
+        return (
+            d.select("doc_id", F.expr(_DERIVED_TEXT_SQL).alias("t"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.regexp_extract_all(F.col("t"), F.lit(_DATE_PAT), 0)
+                ).alias("date_text"),
+            )
+            .orderBy("doc_id", "date_text")
+        )
+
+    q["regex_dates"] = regex_dates
+
+    def regex_urls(spark, sf_dir):
+        # url annotator semantics (deduce/base_config.json:515-532),
+        # RE2/Java-portable subset; derived text as in regex_dates
+        d = _docs(spark, sf_dir)
+        return (
+            d.select("doc_id", F.expr(_DERIVED_TEXT_SQL).alias("t"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.regexp_extract_all(F.col("t"), F.lit(_URL_PAT), 0)
+                ).alias("url_text"),
+            )
+            .orderBy("doc_id", "url_text")
+        )
+
+    q["regex_urls"] = regex_urls
 
     # -- KG pipeline + sketch operators (non-SQL-expressible, rows-only) --
 
@@ -625,13 +699,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
         """,
-        "regex_identifiers": r"""
-            SELECT doc_id, unnest(regexp_extract_all(text, '\d{7,}')) AS id_text
+        "regex_identifiers": f"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all({_ID_TEXT_SQL}, '\\d{{7,}}')) AS id_text
             FROM documents ORDER BY doc_id, id_text
         """,
         "regex_emails": f"""
-            SELECT doc_id, unnest(regexp_extract_all(text, '{email}')) AS email
+            SELECT doc_id,
+                   unnest(regexp_extract_all({_EMAIL_TEXT_SQL}, '{email}')) AS email
             FROM documents ORDER BY doc_id, email
+        """,
+        "regex_dates": f"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all({_DERIVED_TEXT_SQL}, '{_DATE_PAT}')) AS date_text
+            FROM documents ORDER BY doc_id, date_text
+        """,
+        "regex_urls": f"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all({_DERIVED_TEXT_SQL}, '{_URL_PAT}')) AS url_text
+            FROM documents ORDER BY doc_id, url_text
         """,
     }
 
