@@ -204,8 +204,33 @@ def _append_baseline_md(s: dict) -> None:
         fh.write("\n".join(lines))
 
 
+def run_pr() -> dict:
+    """Mention-level P/R of the Spark path vs the reference regression
+    corpus (north_rule: triple P/R >= 0.95); appends to BENCH/BASELINE.md."""
+    sys.path.insert(0, str(REPO))
+    from deduce_spark.spark import regression as reg
+    from deduce_spark.spark.session import get_spark
+    from deduce_spark.spark.stages import AnnotatePipeline
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="deduce_spark_pr")
+    pr = reg.corpus_pr(spark, AnnotatePipeline(spark))
+    spark.stop()
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(REPO / "BENCH" / "BASELINE.md", "a", encoding="utf-8") as fh:
+        fh.write(
+            f"\n## P/R vs reference corpus {stamp}\n\n"
+            f"Spark path (mapInPandas/Arrow), all 9 regression groups: "
+            f"precision {pr['precision']}, recall {pr['recall']}, "
+            f"{pr['exact_cases']}/{pr['total_cases']} cases exact.\n"
+            f"Per group: {json.dumps(pr['per_group'], sort_keys=True)}\n"
+        )
+    return {"metric": "corpus_pr", "unit": "ratio", **pr}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--pr" in sys.argv:
+        print(json.dumps(run_pr()))
     else:
         print(json.dumps(run_headline()))
