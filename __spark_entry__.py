@@ -452,6 +452,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples_by_pred"] = kg_triples_by_pred
 
+    def kg_link_scores(spark, sf_dir):
+        # entity-link scoring against broadcast name/institution
+        # dictionaries (north_star stage; no reference counterpart)
+        from deduce_spark.spark import kg
+
+        pipe = _pipeline(spark)
+        pages = _pages_df(spark, sf_dir)
+        mentions = pipe.mentions_long(
+            pipe.annotate_pages(pages, lang="nl", with_text=False,
+                                with_redacted=False)
+        )
+        _surface_map, nodes = kg.canonicalize(mentions)
+        link_bc = spark.sparkContext.broadcast(kg.build_link_dicts(_engine()))
+        scored = kg.link_scores(nodes, link_bc)
+        return (
+            scored.groupBy("type", "link_evidence")
+            .agg(
+                F.count(F.lit(1)).alias("n_entities"),
+                F.round(F.avg("link_score"), 4).alias("avg_score"),
+            )
+            .orderBy("type", "link_evidence")
+        )
+
+    q["kg_link_scores"] = kg_link_scores
+
     def kg_redact_sample(spark, sf_dir):
         pipe = _pipeline(spark)
         pages = _pages_df(spark, sf_dir)

@@ -376,3 +376,99 @@ def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = 8) 
     dom = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
     salt = (F.xxhash64("url") % salt_buckets).cast("int")
     return df.repartition(n_partitions, F.hash(dom), salt)
+
+
+# ---------------------------------------------------------------------------
+# entity-link scoring (north_star: "entity-link scoring against broadcast
+# name/institution dictionaries"; the reference has no counterpart — design
+# is ours, determinism is what matters)
+# ---------------------------------------------------------------------------
+
+_LINK_SOURCES = {
+    "PERSOON": ("first_name", "surname"),
+    "LOCATIE": ("placename", "street"),
+    "INSTELLING": ("hospital", "healthcare_institution"),
+}
+
+
+def build_link_dicts(engine) -> dict:
+    """Driver-side: lowercased full-phrase sets + token vocabularies per
+    node type, derived from the engine's lookup structures.  One-time cost,
+    broadcast once per job (tens of MB — same order as the engine itself)."""
+    out: dict[str, tuple[frozenset, frozenset]] = {}
+    for ntype, struct_names in _LINK_SOURCES.items():
+        phrases: set[str] = set()
+        vocab: set[str] = set()
+        for name in struct_names:
+            ps = engine.ds[name]
+            ps.freeze()
+            for first, buckets in ps.by_first.items():
+                fl = first.lower()
+                vocab.add(fl)
+                for _, sset in buckets:
+                    for suffix in sset:
+                        low = [fl, *(w.lower() for w in suffix)]
+                        vocab.update(low[1:])
+                        phrases.add(" ".join(low))
+        out[ntype] = (frozenset(phrases), frozenset(vocab))
+    return out
+
+
+def link_scores(nodes: DataFrame, link_dicts_bc) -> DataFrame:
+    """nodes -> nodes + (link_score double, link_evidence string).
+
+    Scoring (deterministic, per canonical form):
+      exact full-phrase dictionary hit        -> 1.0 'exact'
+      every token in the dictionary vocab     -> 0.8 'tokens'
+      some tokens in vocab                    -> 0.5 * fraction, 'partial'
+      no dictionary for the type (DATUM/PHI)  -> 1.0 'structural'
+        (those surfaces were validated structurally at detection time:
+         date shapes, elfproef, phone digit rules)
+      nothing matches                         -> 0.0 'none'
+
+    Runs as one Arrow pass over the NODES table (distinct canonical
+    entities — orders of magnitude smaller than mentions), dictionaries
+    shipped via broadcast; no shuffle, no join.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        nodes.schema.fields
+        + [
+            T.StructField("link_score", T.DoubleType()),
+            T.StructField("link_evidence", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dicts = link_dicts_bc.value
+        for batch in batches:
+            scores, evidence = [], []
+            for ntype, form in zip(batch["type"], batch["canonical_form"]):
+                entry = dicts.get(ntype)
+                if entry is None:
+                    scores.append(1.0)
+                    evidence.append("structural")
+                    continue
+                phrases, vocab = entry
+                if form in phrases:
+                    scores.append(1.0)
+                    evidence.append("exact")
+                    continue
+                toks = [t for t in form.split(" ") if t]
+                hits = sum(t in vocab for t in toks)
+                if toks and hits == len(toks):
+                    scores.append(0.8)
+                    evidence.append("tokens")
+                elif hits:
+                    scores.append(round(0.5 * hits / len(toks), 4))
+                    evidence.append("partial")
+                else:
+                    scores.append(0.0)
+                    evidence.append("none")
+            batch = batch.copy()
+            batch["link_score"] = scores
+            batch["link_evidence"] = evidence
+            yield batch
+
+    return nodes.mapInPandas(run, schema=schema)

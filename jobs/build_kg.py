@@ -60,6 +60,10 @@ def run_job(
     from deduce_spark.spark.kg import canonicalize, salted_repartition, triples
     from deduce_spark.spark.stages import AnnotatePipeline
 
+    if engine is None:
+        from deduce_spark.kernel.engine import Engine
+
+        engine = Engine()  # one instance serves annotate + link scoring
     out = Path(output_path)
     log = lin.LineageLog(out / "_lineage")
     run_id = uuid.uuid4().hex[:12]
@@ -133,8 +137,12 @@ def run_job(
 
     # -- stage B: global canonicalize + triples (recomputed, idempotent) ----
     t0 = time.monotonic()
+    from deduce_spark.spark.kg import build_link_dicts, link_scores
+
+    link_bc = spark.sparkContext.broadcast(build_link_dicts(engine))
     mentions_all = mentions_table.read(spark)
     surface_map, nodes = canonicalize(mentions_all)
+    nodes = link_scores(nodes, link_bc)
     edges = triples(mentions_all, surface_map, with_cooccurrence=with_cooccurrence)
     edges = salted_repartition(edges, spark.sparkContext.defaultParallelism)
     nodes_man = IceTable(out / "nodes").write(

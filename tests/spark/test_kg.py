@@ -71,3 +71,33 @@ def test_salted_repartition(mentions):
     df = kg.salted_repartition(mentions, 8)
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == mentions.count()
+
+
+def test_link_scores(spark, pipeline, engine, pages_path):
+    from deduce_spark.spark import kg
+
+    pages = spark.read.parquet(pages_path)
+    mentions = pipeline.mentions_long(
+        pipeline.annotate_pages(pages, lang="nl", with_text=False,
+                                with_redacted=False)
+    )
+    _sm, nodes = kg.canonicalize(mentions)
+    bc = spark.sparkContext.broadcast(kg.build_link_dicts(engine))
+    scored = kg.link_scores(nodes, bc).collect()
+    assert len(scored) == nodes.count()
+    by_type = {}
+    for r in scored:
+        assert 0.0 <= r.link_score <= 1.0
+        by_type.setdefault(r.type, []).append(r)
+    # DATUM/PHI have no dictionaries -> structural 1.0
+    for t in ("DATUM", "PHI"):
+        for r in by_type.get(t, []):
+            assert r.link_evidence == "structural" and r.link_score == 1.0
+    # fixture persons/institutions come FROM the reference lists, so the
+    # bulk of name-like entities must link with positive evidence
+    name_like = [r for t in ("PERSOON", "INSTELLING") for r in by_type.get(t, [])]
+    assert name_like
+    linked = [r for r in name_like if r.link_score > 0]
+    assert len(linked) >= 0.8 * len(name_like)
+    exact = [r for r in name_like if r.link_evidence == "exact"]
+    assert exact, "expected at least some exact dictionary hits"
