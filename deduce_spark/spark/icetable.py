@@ -244,3 +244,52 @@ class IceTable:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    # -- maintenance -----------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` snapshots (Iceberg
+        expireSnapshots parity): partition directories referenced by no
+        kept manifest are deleted, expired metadata files removed, and the
+        snapshot log trimmed.  Readers of kept snapshots are unaffected —
+        inherited partitions (dirs living under an old snap dir but still
+        referenced by a kept manifest) are preserved.
+        """
+        import shutil
+
+        if not self.exists():
+            return {"deleted_dirs": 0, "freed_bytes": 0}
+        log = self.snapshots()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        kept = [s["snapshot_id"] for s in log[-keep_last:]]
+        expired = [s["snapshot_id"] for s in log[:-keep_last]]
+        referenced = {
+            e["dir"] for sid in kept for e in self.manifest(sid)["entries"]
+        }
+        deleted_dirs = 0
+        freed = 0
+        for snap_dir in sorted((self.root / "data").glob("snap-*")):
+            snap_rel_root = f"data/{snap_dir.name}"
+            # every partition dir (deepest dirs holding parquet) under snap
+            part_dirs = {p.parent for p in snap_dir.rglob("*.parquet")}
+            for d in sorted(part_dirs):
+                rel = d.relative_to(self.root).as_posix()
+                if rel in referenced or snap_rel_root in referenced:
+                    continue
+                freed += sum(f.stat().st_size for f in d.rglob("*") if f.is_file())
+                shutil.rmtree(d)
+                deleted_dirs += 1
+            # remove now-empty snap dirs
+            if snap_dir.exists() and not any(snap_dir.rglob("*.parquet")):
+                shutil.rmtree(snap_dir)
+        for sid in expired:
+            (self.meta_dir / f"snap-{sid}.json").unlink(missing_ok=True)
+        # trim the snapshot log in a NEW metadata version (commit via hint)
+        version = self.current_version() + 1
+        meta = self._metadata()
+        meta["snapshot_log"] = [s for s in log if s["snapshot_id"] in kept]
+        _atomic_write(self.meta_dir / f"v{version}.metadata.json", json.dumps(meta, indent=1))
+        _atomic_write(self.meta_dir / "version-hint.text", str(version))
+        return {"deleted_dirs": deleted_dirs, "freed_bytes": freed,
+                "expired": expired, "kept": kept}

@@ -303,18 +303,35 @@ def canonicalize(
 
 
 def triples(
-    mentions: DataFrame, surface_map: DataFrame, with_cooccurrence: bool = True
+    mentions: DataFrame,
+    surface_map: DataFrame,
+    with_cooccurrence: bool = True,
+    max_cooc_entities: int = 128,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """Emit (subj, pred, obj, url, warc_ts) edge rows.
 
     Predicates: mentions, hasType, hasSurfaceForm, publishedAt,
     coOccursWith (per page, deduplicated, a<b).
-    The surface_map join is broadcast when small (dictionary-sized).
+
+    ``broadcast_map``: the surface_map is distinct (surface, type) — at
+    local/test scale it is dictionary-sized and a broadcast hint wins; on a
+    10^12-page corpus it is billions of rows, so pass False and let the
+    shuffled hash join (AQE-planned) handle it.
+
+    ``max_cooc_entities``: a page citing E entities emits E·(E-1)/2
+    co-occurrence edges — one 10k-entity link-farm page would emit 50M
+    rows and stall its task.  Pages keep only their ``max_cooc_entities``
+    most-mentioned entities (deterministic tie-break on entity_id) for the
+    co-occurrence family; the other four triple families are unaffected.
     """
+    map_cols = surface_map.select("surface", "type", "entity_id")
+    if broadcast_map:
+        map_cols = F.broadcast(map_cols)
     linked = mentions.withColumn(
         "surface", normalize_surface(F.col("text"))
     ).withColumn("type", node_type(F.col("tag"))).join(
-        F.broadcast(surface_map.select("surface", "type", "entity_id")),
+        map_cols,
         ["surface", "type"],
         "left",
     )
@@ -352,7 +369,20 @@ def triples(
     )
     out = t_mentions.unionByName(t_type).unionByName(t_surface).unionByName(t_published)
     if with_cooccurrence:
-        page_entities = linked.select("url", "warc_ts", "entity_id").distinct()
+        from pyspark.sql import Window
+
+        page_entities = (
+            linked.groupBy("url", "warc_ts", "entity_id")
+            .agg(F.count(F.lit(1)).alias("n_on_page"))
+        )
+        cap_w = Window.partitionBy("url").orderBy(
+            F.desc("n_on_page"), F.asc("entity_id")
+        )
+        page_entities = (
+            page_entities.withColumn("rk", F.row_number().over(cap_w))
+            .filter(F.col("rk") <= max_cooc_entities)
+            .select("url", "warc_ts", "entity_id")
+        )
         l, r = page_entities.alias("l"), page_entities.alias("r")
         cooc = (
             l.join(r, (F.col("l.url") == F.col("r.url"))

@@ -54,6 +54,7 @@ def run_job(
     from_html: bool = True,
     with_cooccurrence: bool = True,
     engine=None,
+    expire_keep: int = 0,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.icetable import IceTable
@@ -170,6 +171,11 @@ def run_job(
     summary["kg_wall_s"] = round(wall, 3)
     summary["nodes_rows"] = nodes_man["summary"]["total_rows"]
     summary["edges_rows"] = edges_man["summary"]["total_rows"]
+    if expire_keep:
+        freed = 0
+        for t in ("mentions", "nodes", "edges"):
+            freed += IceTable(out / t).expire_snapshots(expire_keep)["freed_bytes"]
+        summary["expired_freed_bytes"] = freed
     return summary
 
 
@@ -183,6 +189,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--from-text", action="store_true",
                     help="use the text column instead of extracting from html")
     ap.add_argument("--no-cooccurrence", action="store_true")
+    ap.add_argument("--expire-keep", type=int, default=0, metavar="N",
+                    help="after the run, keep only the last N snapshots per "
+                         "output table and GC unreferenced data (0 = keep all)")
     ap.add_argument("--master", default=None, help="e.g. local[8]; default from env")
     args = ap.parse_args(argv)
 
@@ -199,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
             lang=args.lang or None,
             from_html=not args.from_text,
             with_cooccurrence=not args.no_cooccurrence,
+            expire_keep=args.expire_keep,
         )
     finally:
         spark.stop()

@@ -73,3 +73,25 @@ def test_crash_before_commit_is_invisible(spark, table, tmp_path):
     (table.meta_dir / "snap-99.json").write_text("{}")
     assert table.current_version() == 1
     assert table.read(spark).count() == 1
+
+
+def test_expire_snapshots_gc(spark, table, tmp_path):
+    table.write(_df(spark, [(0, "a", 1), (1, "b", 2)]), partition_by=("part_id",))
+    table.write(_df(spark, [(1, "z", 9)]), partition_by=("part_id",),
+                mode="overwrite-partitions")
+    table.write(_df(spark, [(0, "q", 5)]), partition_by=("part_id",),
+                mode="overwrite-partitions")
+    before = sorted((r.part_id, r.k, r.v) for r in table.read(spark).collect())
+    stats = table.expire_snapshots(keep_last=1)
+    # snapshot 2's part 1 dir is still referenced (inherited) and must
+    # survive; snapshot 1's replaced dirs are gone
+    assert stats["expired"] == [1, 2] and stats["deleted_dirs"] >= 1
+    after = sorted((r.part_id, r.k, r.v) for r in table.read(spark).collect())
+    assert after == before == [(0, "q", 5), (1, "z", 9)]
+    assert [s["snapshot_id"] for s in table.snapshots()] == [3]
+    # expired manifests removed, current still readable
+    assert not (table.meta_dir / "snap-1.json").exists()
+    # next write after expiry commits cleanly
+    table.write(_df(spark, [(2, "n", 7)]), partition_by=("part_id",),
+                mode="overwrite-partitions")
+    assert table.read(spark).count() == 3
