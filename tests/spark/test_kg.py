@@ -101,3 +101,28 @@ def test_link_scores(spark, pipeline, engine, pages_path):
     assert len(linked) >= 0.8 * len(name_like)
     exact = [r for r in name_like if r.link_evidence == "exact"]
     assert exact, "expected at least some exact dictionary hits"
+
+
+def test_connected_components_distributed_agrees_with_local(spark):
+    # deterministic pseudo-random graph: chains, stars, a cycle, singleton
+    # pairs — force the distributed min-label path with local_threshold=0
+    # and require bit-identical labels vs the driver union-find path
+    edges = []
+    x = 1
+    for i in range(60):
+        x = (x * 48271) % 2147483647
+        a = x % 500
+        x = (x * 48271) % 2147483647
+        b = x % 500
+        if a != b:
+            edges.append((int(a), int(b)))
+    edges += [(1000, 1001), (1001, 1002), (1002, 1000)]  # cycle
+    df = spark.createDataFrame(edges, ["a", "b"])
+    local = {r["surface_id"]: r["component"]
+             for r in kg.connected_components(df).collect()}
+    dist = {r["surface_id"]: r["component"]
+            for r in kg.connected_components(df, local_threshold=0).collect()}
+    assert dist == local
+    # canonical label is the minimum member of each component
+    for node, comp in dist.items():
+        assert comp <= node
