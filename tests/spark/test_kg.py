@@ -126,3 +126,23 @@ def test_connected_components_distributed_agrees_with_local(spark):
     # canonical label is the minimum member of each component
     for node, comp in dist.items():
         assert comp <= node
+
+
+def test_salted_repartition_defuses_hot_domain(spark):
+    # 90% of rows from one hot domain: unsalted domain-hash partitioning
+    # puts them all in ONE partition; salting must spread them
+    rows = [(f"https://hot.example/{i}", None) for i in range(900)]
+    rows += [(f"https://site{i}.example/x", None) for i in range(100)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    from pyspark.sql import functions as F
+
+    dom = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    unsalted_sizes = (
+        df.repartition(8, F.hash(dom)).rdd.glom().map(len).collect()
+    )
+    salted_sizes = (
+        kg.salted_repartition(df, 8).rdd.glom().map(len).collect()
+    )
+    assert max(unsalted_sizes) >= 900          # hot domain lands whole
+    assert max(salted_sizes) <= 450            # spread over salt buckets
+    assert sum(salted_sizes) == 1000
