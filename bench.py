@@ -100,7 +100,25 @@ from deduce_spark.fixtures import write_pages_parquet
 from deduce_spark.spark.session import get_spark
 
 cores = {cores}
-spark = get_spark(master=f"local[{{cores}}]", app_name=f"kg_scaling_{{cores}}")
+executors = {executors}
+if executors:
+    # REAL separate executor JVMs (spark standalone local-cluster):
+    # the literal "N executors vs 4N executors" of the north_rule.
+    # Package shipped via py-files exactly as a cluster submit would.
+    per_exec = cores // executors
+    spark = get_spark(
+        master=f"local-cluster[{{executors}},{{per_exec}},3072]",
+        app_name=f"kg_scaling_{{executors}}x{{per_exec}}",
+        shuffle_partitions=2 * cores,
+        extra_conf={{
+            "spark.executor.memory": "3g",
+            "spark.submit.pyFiles": {repo!r} + "/dist/kgspark.zip",
+            "spark.executorEnv.DEDUCE_SPARK_CACHE": "/root/.cache/deduce_spark",
+        }},
+    )
+    spark.sparkContext.addPyFile({repo!r} + "/dist/kgspark.zip")
+else:
+    spark = get_spark(master=f"local[{{cores}}]", app_name=f"kg_scaling_{{cores}}")
 # large enough that per-job fixed costs (~2 s) amortize: the criterion
 # measures sustained scaling, which is what a 100 TB run experiences
 path = write_pages_parquet(entry_mod._PAGES_CACHE, n_pages={n_pages})
@@ -127,8 +145,10 @@ spark.stop()
 SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 
 
-def _one_scaling_trial(cores: int) -> dict:
-    code = _SCALING_SNIPPET.format(repo=str(REPO), cores=cores, n_pages=SCALING_PAGES)
+def _one_scaling_trial(cores: int, executors: int = 0) -> dict:
+    code = _SCALING_SNIPPET.format(
+        repo=str(REPO), cores=cores, n_pages=SCALING_PAGES, executors=executors
+    )
     # pin the low-core run to that many physical CPUs: bare local[N] on
     # a 32-core box would let JVM/Arrow/OS threads overflow onto idle
     # cores and overstate small-cluster throughput
@@ -140,19 +160,41 @@ def _one_scaling_trial(cores: int) -> dict:
     return json.loads(line)
 
 
-def run_scaling(low: int = 8, high: int = 32, trials: int = SCALING_TRIALS) -> dict:
-    """Best-of-N trials per core count.
+def run_scaling(
+    low: int = 8,
+    high: int = 32,
+    trials: int = SCALING_TRIALS,
+    multi_executor: bool = False,
+) -> dict:
+    """Best-of-N trials per cluster size.
+
+    ``multi_executor=True`` runs the same job on a spark standalone
+    local-cluster with SEPARATE executor JVMs — 2 executors x 4 cores vs
+    8 executors x 4 cores (the north_rule's literal N vs 4N executors);
+    the package ships via py-files exactly as a cluster submit would.
+    Default mode uses local[N] thread-executors (lower overhead, same
+    CPU-scaling physics).
 
     Throughput on this shared VM swings ±30% with page-cache state and
     co-tenant interference; the scaling criterion is about OUR pipeline's
-    parallel efficiency, not the hypervisor's mood, so each core count gets
-    ``trials`` fresh-JVM runs (alternating, so cache state is symmetric)
-    and the best sustained rate represents the uncontended capability —
-    the number a dedicated cluster node would show."""
+    parallel efficiency, not the hypervisor's mood, so each cluster size
+    gets ``trials`` fresh-JVM runs (alternating, so cache state is
+    symmetric) and the best sustained rate represents the uncontended
+    capability — the number a dedicated cluster node would show."""
+    if multi_executor:
+        subprocess.run(
+            [sys.executable, str(REPO / "jobs" / "package_pyfiles.py")],
+            check=True, capture_output=True,
+        )
+    n_exec = {low: max(1, low // 4), high: max(1, high // 4)}
     all_trials: dict[int, list[dict]] = {low: [], high: []}
     for _ in range(trials):
         for cores in (low, high):
-            all_trials[cores].append(_one_scaling_trial(cores))
+            all_trials[cores].append(
+                _one_scaling_trial(
+                    cores, executors=n_exec[cores] if multi_executor else 0
+                )
+            )
     results = {
         cores: max(runs, key=lambda r: r["pages_per_sec"])
         for cores, runs in all_trials.items()
@@ -164,6 +206,10 @@ def run_scaling(low: int = 8, high: int = 32, trials: int = SCALING_TRIALS) -> d
         "metric": "scaling_efficiency",
         "value": efficiency,
         "unit": "ratio",
+        "mode": (
+            f"local-cluster separate-JVM executors ({n_exec[low]} vs {n_exec[high]} x 4 cores)"
+            if multi_executor else "local[N] thread executors"
+        ),
         "low_cores": low,
         "high_cores": high,
         "pages_per_sec": {str(low): tp_low, str(high): tp_high},
@@ -185,7 +231,7 @@ def _append_baseline_md(s: dict) -> None:
     lo, hi = str(s["low_cores"]), str(s["high_cores"])
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     lines = [
-        f"\n## Scaling run {stamp} ({s['sf_dir']})\n",
+        f"\n## Scaling run {stamp} ({s['sf_dir']}; {s.get('mode', 'local[N]')})\n",
         "| cores | pages | wall (s) | pages/sec |",
         "|---|---|---|---|",
     ]
@@ -229,7 +275,8 @@ def run_pr() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(
+            multi_executor="--multi-executor" in sys.argv)))
     elif "--pr" in sys.argv:
         print(json.dumps(run_pr()))
     else:
