@@ -126,6 +126,14 @@ class IceTable:
         """
         if mode not in ("append", "overwrite", "overwrite-partitions"):
             raise ValueError(f"unknown mode {mode!r}")
+        if mode != "overwrite" and self.exists():
+            prev_spec = self._metadata().get("partition_spec", [])
+            if prev_spec != list(partition_by):
+                raise ValueError(
+                    f"partition spec change {prev_spec} -> {list(partition_by)} "
+                    f"requires mode='overwrite' (append/overwrite-partitions "
+                    f"would mix layouts in one manifest)"
+                )
         version = self.current_version() + 1
         snap_rel = f"data/snap-{version}"
         snap_dir = self.root / snap_rel

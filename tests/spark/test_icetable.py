@@ -95,3 +95,16 @@ def test_expire_snapshots_gc(spark, table, tmp_path):
     table.write(_df(spark, [(2, "n", 7)]), partition_by=("part_id",),
                 mode="overwrite-partitions")
     assert table.read(spark).count() == 3
+
+
+def test_partition_spec_change_requires_full_overwrite(spark, table):
+    table.write(_df(spark, [(0, "a", 1)]), partition_by=("part_id",))
+    with pytest.raises(ValueError, match="partition spec change"):
+        table.write(_df(spark, [(0, "b", 2)]), partition_by=("part_id", "k"),
+                    mode="overwrite-partitions")
+    with pytest.raises(ValueError, match="partition spec change"):
+        table.write(_df(spark, [(0, "b", 2)]), mode="append")
+    # explicit full overwrite is the sanctioned path
+    table.write(_df(spark, [(0, "b", 2)]), partition_by=("part_id", "k"),
+                mode="overwrite")
+    assert table.read(spark).count() == 1
