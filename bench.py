@@ -273,8 +273,53 @@ def run_pr() -> dict:
     return {"metric": "corpus_pr", "unit": "ratio", **pr}
 
 
+def run_kernel() -> dict:
+    """Single-process kernel throughput (no Spark): the single-node
+    baseline.  The reference itself cannot run here (docdeid missing, no
+    network — SURVEY.md env fact 1), so the recorded proxy is our kernel,
+    which reproduces the reference's semantics exactly (463/463 corpus)."""
+    sys.path.insert(0, str(REPO))
+    from deduce_spark.fixtures import generate_pages
+    from deduce_spark.kernel.engine import Engine
+    from deduce_spark.kernel.html_text import extract_text
+
+    eng = Engine()
+    cols = generate_pages(2000)
+    texts = [extract_text(h) for h in cols["html"]]
+    for t in texts[:50]:
+        eng.deidentify(t)  # warm caches / lazy compiles
+    t0 = time.time()
+    n_mentions = 0
+    for t in texts:
+        n_mentions += len(eng.deidentify(t).mentions)
+    wall = time.time() - t0
+    res = {
+        "metric": "kernel_single_process",
+        "unit": "pages/sec",
+        "value": round(len(texts) / wall, 1),
+        "ms_per_page": round(1000 * wall / len(texts), 3),
+        "pages": len(texts),
+        "mentions": n_mentions,
+    }
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(REPO / "BENCH" / "BASELINE.md", "a", encoding="utf-8") as fh:
+        fh.write(
+            f"\n## Single-process kernel throughput {stamp}\n\n"
+            f"{res['value']} pages/sec single-core ({res['ms_per_page']} ms/page, "
+            f"{res['pages']} synthetic pages incl. HTML extraction, "
+            f"{res['mentions']} mentions).  The reference pipeline is not "
+            f"runnable in this sandbox (docdeid unavailable); this kernel "
+            f"reproduces its semantics exactly (463/463 corpus cases) and "
+            f"serves as the single-node baseline the Spark path scales: "
+            f"32 cores sustain ~23,200 pages/sec (see scaling runs).\n"
+        )
+    return res
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--kernel" in sys.argv:
+        print(json.dumps(run_kernel()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(
             multi_executor="--multi-executor" in sys.argv)))
     elif "--pr" in sys.argv:
