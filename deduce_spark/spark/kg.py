@@ -5,8 +5,10 @@ Stages (SURVEY.md §1 tail / north_star):
 1. surface normalization (native Spark expressions — stays in codegen);
 2. MinHash signatures over char 3-shingles (Arrow-batched numpy UDF);
 3. LSH banding -> candidate pairs (groupBy band, self-join inside bucket);
-4. connected components via alternating large-star/small-star (iterative
-   joins, logarithmic rounds, lineage truncated with localCheckpoint);
+4. connected components: driver union-find for sparse edge sets, else
+   distributed min-label propagation (iterative joins, O(cluster diameter)
+   rounds — near-dup clusters are shallow; lineage truncated with
+   localCheckpoint per round);
 5. canonical entity id = min stable hash in the component;
 6. nodes / edges (triples) materialization, salted against hot-domain skew.
 
@@ -185,8 +187,10 @@ def connected_components(
     Near-dup graphs are sparse (edges only between near-identical strings),
     so up to ``local_threshold`` edges a driver-side union-find is both
     exact and orders of magnitude cheaper than iterative joins; above it,
-    distributed min-label propagation (O(log n) rounds, lineage truncated
-    per round) takes over.  Both paths are deterministic and agree.
+    distributed min-label propagation (one round per cluster diameter —
+    near-identical-string clusters are shallow; lineage truncated per
+    round) takes over.  Both paths are deterministic and agree
+    (tests/spark/test_kg.py pins bit-identical labels).
     """
     spark = edges.sparkSession
     edges = edges.cache()  # consumed by count + either CC path
@@ -213,8 +217,16 @@ def connected_components(
                 # distributed path
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        rows = [(x, find(x)) for x in parent]
-        return spark.createDataFrame(rows, "surface_id long, component long")
+        out = pd.DataFrame(
+            {
+                "surface_id": np.fromiter(parent.keys(), dtype=np.int64),
+                "component": np.fromiter(
+                    (find(x) for x in parent), dtype=np.int64, count=len(parent)
+                ),
+            }
+        )
+        # Arrow path: ~10x faster than a list-of-tuples createDataFrame
+        return spark.createDataFrame(out)
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("surface_id"))
