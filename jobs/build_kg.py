@@ -55,10 +55,10 @@ def run_job(
     with_cooccurrence: bool = True,
     engine=None,
     expire_keep: int = 0,
+    kg_only: bool = False,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.icetable import IceTable
-    from deduce_spark.spark.kg import canonicalize, salted_repartition, triples
     from deduce_spark.spark.stages import AnnotatePipeline
 
     if engine is None:
@@ -72,6 +72,18 @@ def run_job(
     mentions_table = IceTable(out / "mentions")
 
     # -- plan ---------------------------------------------------------------
+    if kg_only:
+        # stage B only: rebuild nodes/edges from an EXISTING mentions table
+        # (e.g. one fed by jobs/stream_ingest.py — its (batch_id, part_id)
+        # layout differs from the batch layout, but reading is layout-
+        # agnostic; only stage A's writes are spec-bound)
+        if not mentions_table.exists():
+            raise SystemExit(f"--kg-only: no mentions table under {out}")
+        summary: dict = {"run_id": run_id, "kg_only": True}
+        return _stage_b(
+            spark, out, log, run_id, seq, mentions_table, engine,
+            with_cooccurrence, expire_keep, summary,
+        )
     pages = lin.with_part_id(_read_pages(spark, input_path), n_parts)
     manifest_rows = [r.asDict() for r in lin.part_manifest(pages).collect()]
     # changing n_parts relabels every row: prior partitions are garbage, so
@@ -137,9 +149,23 @@ def run_job(
         summary["mentions_rows_written"] = man["summary"]["added_rows"]
 
     # -- stage B: global canonicalize + triples (recomputed, idempotent) ----
-    t0 = time.monotonic()
-    from deduce_spark.spark.kg import build_link_dicts, link_scores
+    return _stage_b(
+        spark, out, log, run_id, seq, mentions_table, engine,
+        with_cooccurrence, expire_keep, summary,
+    )
 
+
+def _stage_b(
+    spark, out, log, run_id, seq, mentions_table, engine,
+    with_cooccurrence, expire_keep, summary,
+) -> dict:
+    from deduce_spark.spark import lineage as lin
+    from deduce_spark.spark.icetable import IceTable
+    from deduce_spark.spark.kg import (
+        build_link_dicts, canonicalize, link_scores, salted_repartition, triples,
+    )
+
+    t0 = time.monotonic()
     link_bc = spark.sparkContext.broadcast(build_link_dicts(engine))
     mentions_all = mentions_table.read(spark)
     surface_map, nodes = canonicalize(mentions_all)
@@ -181,7 +207,11 @@ def run_job(
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="pages parquet dir or icetable root")
+    ap.add_argument("--input", default=None,
+                    help="pages parquet dir or icetable root (omit with --kg-only)")
+    ap.add_argument("--kg-only", action="store_true",
+                    help="skip annotate; rebuild nodes/edges from the existing "
+                         "mentions table under --output (e.g. after stream_ingest)")
     ap.add_argument("--output", required=True, help="KG output root")
     ap.add_argument("--n-parts", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
@@ -194,6 +224,9 @@ def main(argv: list[str] | None = None) -> int:
                          "output table and GC unreferenced data (0 = keep all)")
     ap.add_argument("--master", default=None, help="e.g. local[8]; default from env")
     args = ap.parse_args(argv)
+
+    if not args.kg_only and not args.input:
+        ap.error("--input is required unless --kg-only is set")
 
     from deduce_spark.spark.session import get_spark
 
@@ -209,6 +242,7 @@ def main(argv: list[str] | None = None) -> int:
             from_html=not args.from_text,
             with_cooccurrence=not args.no_cooccurrence,
             expire_keep=args.expire_keep,
+            kg_only=args.kg_only,
         )
     finally:
         spark.stop()

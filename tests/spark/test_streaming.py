@@ -86,3 +86,30 @@ def test_replayed_batch_is_idempotent(spark, pipeline, pages_path, tmp_path):
     snap_before = table.current_version()
     writer(batch, 7)
     assert table.current_version() == snap_before
+
+
+def test_streamed_mentions_feed_kg_only_build(spark, pipeline, tmp_path):
+    """stream_ingest -> build_kg --kg-only yields the SAME graph as the
+    one-shot batch job on the same pages (streaming == batch equivalence)."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parents[2] / "jobs"))
+    from build_kg import run_job
+
+    pages_path = str(
+        write_pages_parquet(tmp_path / "pages", n_pages=60, pages_per_file=30)
+    )
+    out_stream = tmp_path / "via_stream"
+    q = stream_pages_to_mentions(
+        spark, pages_path, out_stream, str(tmp_path / "ck"),
+        pipe=pipeline, n_parts=4,
+    )
+    q.awaitTermination()
+    s1 = run_job(spark, None, str(out_stream), kg_only=True,
+                 engine=pipeline._engine_bc.value)
+    out_batch = tmp_path / "via_batch"
+    s2 = run_job(spark, pages_path, str(out_batch), n_parts=4,
+                 engine=pipeline._engine_bc.value)
+    assert (s1["nodes_rows"], s1["edges_rows"]) == (
+        s2["nodes_rows"], s2["edges_rows"])
