@@ -424,6 +424,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["regex_urls"] = regex_urls
 
+    def mentions_gap_merge(spark, sf_dir):
+        # relational form of P5 DeduceMergeAdjacentAnnotations (reference
+        # deduce/annotation_processor.py:8-54): session-window-style gap
+        # merge over intervals — lag + cumsum group ids, then min/max per
+        # group.  Intervals derived deterministically from doc_id so the
+        # DuckDB oracle sees identical input (documents testdata has no
+        # interval columns).
+        d = _docs(spark, sf_dir)
+        iv = d.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("doc_id") % 7).cast("long").alias("s"),
+                        (F.col("doc_id") % 7 + 3).cast("long").alias("e"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") % 7 + 4).cast("long").alias("s"),
+                        (F.col("doc_id") % 7 + 6).cast("long").alias("e"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") % 7 + 10).cast("long").alias("s"),
+                        (F.col("doc_id") % 7 + 12).cast("long").alias("e"),
+                    ),
+                )
+            ).alias("iv"),
+        ).select("doc_id", F.col("iv.s").alias("s"), F.col("iv.e").alias("e"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("s", "e")
+        merged = (
+            iv.withColumn("prev_e", F.lag("e").over(w))
+            # gap <= 1 char of slack merges (mirrors the '[. ]' slack idea)
+            .withColumn(
+                "new_grp",
+                F.when(
+                    F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn("grp", F.sum("new_grp").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("doc_id", "grp")
+            .agg(F.min("s").alias("merged_start"), F.max("e").alias("merged_end"))
+            .select("doc_id", "merged_start", "merged_end")
+            .orderBy("doc_id", "merged_start")
+        )
+        return merged
+
+    q["mentions_gap_merge"] = mentions_gap_merge
+
     # -- KG pipeline + sketch operators (non-SQL-expressible, rows-only) --
 
     def kg_mentions_by_tag(spark, sf_dir):
@@ -743,6 +794,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    unnest(regexp_extract_all({_DERIVED_TEXT_SQL}, '{_URL_PAT}')) AS url_text
             FROM documents ORDER BY doc_id, url_text
+        """,
+        "mentions_gap_merge": """
+            WITH iv AS (
+                SELECT doc_id, doc_id % 7 AS s, doc_id % 7 + 3 AS e FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id % 7 + 4, doc_id % 7 + 6 FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id % 7 + 10, doc_id % 7 + 12 FROM documents
+            ),
+            lagged AS (
+                SELECT doc_id, s, e,
+                       LAG(e) OVER (PARTITION BY doc_id ORDER BY s, e) AS prev_e
+                FROM iv
+            ),
+            grouped AS (
+                SELECT doc_id, s, e,
+                       SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+                FROM lagged
+            )
+            SELECT doc_id, MIN(s) AS merged_start, MAX(e) AS merged_end
+            FROM grouped GROUP BY doc_id, grp
+            ORDER BY doc_id, merged_start
         """,
     }
 
