@@ -324,10 +324,16 @@ class MultiTokenLookupAnnotator:
         text = doc.text
         phrases = self.phrases
         norm = phrases.norm
-        # normalize the token array once per document, not once per probe
-        words = [t.text for t in toks] if norm is None else [
-            norm(t.text) for t in toks
-        ]
+        # normalize the token array once per (document, normalizer) and
+        # share across the 7 phrase annotators (several reuse the same
+        # normalizer; rebuilding per annotator measured ~8% of deidentify)
+        cache_key = ("_norm_words", id(norm))
+        words = doc.metadata.get(cache_key)
+        if words is None:
+            words = [t.text for t in toks] if norm is None else [
+                norm(t.text) for t in toks
+            ]
+            doc.metadata[cache_key] = words
         by_first = phrases.by_first
         out = []
         i = 0
@@ -387,7 +393,9 @@ class RegexpAnnotator:
 
     def annotate(self, doc: Doc) -> list[Mention]:
         if self.pre_match_words is not None:
-            low = doc.text.lower()
+            low = doc.metadata.get("_low_text")
+            if low is None:
+                low = doc.metadata["_low_text"] = doc.text.lower()
             if not any(w in low for w in self.pre_match_words):
                 return []
         out = []
