@@ -358,20 +358,26 @@ def triples(
         "url",
         "warc_ts",
     )
-    t_type = linked.select(
-        ent.alias("subj"),
-        F.lit("hasType").alias("pred"),
-        F.col("type").alias("obj"),
-        "url",
-        "warc_ts",
-    ).dropDuplicates(["subj", "obj"])
-    t_surface = linked.select(
-        ent.alias("subj"),
-        F.lit("hasSurfaceForm").alias("pred"),
-        F.col("surface").alias("obj"),
-        "url",
-        "warc_ts",
-    ).dropDuplicates(["subj", "obj"])
+    # hasType / hasSurfaceForm are entity-level facts; the witnessing
+    # (url, warc_ts) must be DETERMINISTIC — dropDuplicates keeps whichever
+    # row a partition delivers first, which varies with input layout and
+    # breaks exact-resume equality.  min(struct) pins the lexicographically
+    # first witness.
+    def _entity_fact(obj_col, pred):
+        return (
+            linked.groupBy(ent.alias("subj"), obj_col.alias("obj"))
+            .agg(F.min(F.struct("url", "warc_ts")).alias("w"))
+            .select(
+                "subj",
+                F.lit(pred).alias("pred"),
+                "obj",
+                F.col("w.url").alias("url"),
+                F.col("w.warc_ts").alias("warc_ts"),
+            )
+        )
+
+    t_type = _entity_fact(F.col("type"), "hasType")
+    t_surface = _entity_fact(F.col("surface"), "hasSurfaceForm")
     t_published = mentions.select("url", "warc_ts").distinct().select(
         F.col("url").alias("subj"),
         F.lit("publishedAt").alias("pred"),

@@ -146,3 +146,26 @@ def test_salted_repartition_defuses_hot_domain(spark):
     assert max(unsalted_sizes) >= 900          # hot domain lands whole
     assert max(salted_sizes) <= 450            # spread over salt buckets
     assert sum(salted_sizes) == 1000
+
+
+def test_kg_output_is_partitioning_invariant(spark, pipeline, pages_path):
+    """Identical triples regardless of input partitioning — hashes, LSH
+    bucketing, CC labels, canonical-form and cooc-cap tie-breaks must all
+    be layout-independent (exact-resume prerequisite)."""
+    def build(pages):
+        mentions = pipeline.mentions_long(
+            pipeline.annotate_pages(pages, lang="nl", with_text=False,
+                                    with_redacted=False)
+        ).cache()
+        sm, nodes = kg.canonicalize(mentions)
+        tr = kg.triples(mentions, sm)
+        return sorted(
+            (r.subj, r.pred, r.obj, r.url) for r in tr.collect()
+        ), sorted((r.entity_id, r.type, r.canonical_form, r.n_mentions)
+                  for r in nodes.collect())
+
+    base = spark.read.parquet(pages_path)
+    t1, n1 = build(base.repartition(1))
+    t2, n2 = build(base.repartition(13))
+    assert n1 == n2
+    assert t1 == t2
