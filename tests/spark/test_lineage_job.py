@@ -80,12 +80,18 @@ def test_changed_input_recomputes_only_touched_parts(
             assert after[pid] == rows
     assert after[victim_part] <= baseline[victim_part]
     # mentions table contents now exactly match a from-scratch annotate of
-    # the changed input (resume == recompute, the exact-resume guarantee)
-    total = IceTable(kg_out / "mentions").read(spark).count()
+    # the changed input (resume == recompute, the exact-resume guarantee) —
+    # compared VALUE-FOR-VALUE, not just by count
+    def rows(root):
+        return sorted(
+            (r.url, r.text, r.start_char, r.end_char, r.tag, r.priority)
+            for r in IceTable(root / "mentions").read(spark).collect()
+        )
+
     fresh_out = tmp_path / "kg_fresh"
     s2 = run_job(spark, changed_dir, str(fresh_out), n_parts=N_PARTS,
                  engine=engine, resume=False)
-    assert total == IceTable(fresh_out / "mentions").read(spark).count()
+    assert rows(kg_out) == rows(fresh_out)
     assert s2["parts_processed"] == N_PARTS
 
 
