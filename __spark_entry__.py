@@ -165,6 +165,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_dedup"] = exact_dedup
 
+    def embed_cosine_dedup(spark, sf_dir):
+        # embedding-cosine near-dup pairs (brute-force baseline; LSH-bucketed
+        # scale path is lsh_topk_embeddings).  All-native: zip_with/aggregate
+        # dot products in double precision, no UDF.  tau=0.35 sits 2.9e-5
+        # away from the nearest pair on this data — no float-boundary risk
+        # vs the DuckDB oracle.
+        dot = (
+            "aggregate(zip_with({l}, {r}, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        e = (
+            _emb(spark, sf_dir)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+            .withColumn("nrm", F.sqrt(F.expr(dot.format(l="v", r="v"))))
+        )
+        a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+        b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+        return (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn(
+                "cos",
+                F.expr(dot.format(l="va", r="vb")) / (F.col("na") * F.col("nb")),
+            )
+            .filter(F.col("cos") >= 0.35)
+            .select("a_id", "b_id")
+            .orderBy("a_id", "b_id")
+        )
+
+    q["embed_cosine_dedup"] = embed_cosine_dedup
+
     def doc_quality(spark, sf_dir):
         from deduce_spark.spark.textstats import quality_score
 
@@ -614,6 +646,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text) ORDER BY canonical_id
+        """,
+        "embed_cosine_dedup": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            ORDER BY a_id, b_id
         """,
         "doc_quality": r"""
             WITH base AS (
