@@ -61,6 +61,11 @@ _EMAIL_TEXT_SQL = (
     "'mail user' || CAST(doc_id AS STRING)"
     " || '@voorbeeld' || CAST(doc_id % 9 AS STRING) || '.nl verzonden'"
 )
+# derived domain with a deliberate 50%-hot key (skew-handling demo)
+_DOMAIN_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'hot.example.nl'"
+    " ELSE 'voorbeeld' || CAST(doc_id % 37 AS STRING) || '.nl' END"
+)
 
 
 def _engine():
@@ -381,6 +386,180 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["nation_supplier_stats"] = nation_supplier_stats
+
+    def cust_no_orders(spark, sf_dir):
+        # anti join: customers with no URGENT order (the unfiltered variant
+        # is vacuous on this data — every customer has orders)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .orderBy("c_custkey")
+        )
+
+    q["cust_no_orders"] = cust_no_orders
+
+    def brands_traded_semi(spark, sf_dir):
+        # semi join: brands with at least one traded part
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .orderBy("p_brand")
+        )
+
+    q["brands_traded_semi"] = brands_traded_semi
+
+    def orders_rollup(spark, sf_dir):
+        # rollup: (status, priority) -> status subtotal -> grand total
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n_orders",
+                "total_price",
+            )
+            .orderBy("status", "priority")
+        )
+
+    q["orders_rollup"] = orders_rollup
+
+    def events_moving_avg(spark, sf_dir):
+        # 3-row moving average per user (deterministic tie-break on event_id)
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-2, 0)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 4).alias("mov_avg_3"),
+        ).orderBy("event_id")
+
+    q["events_moving_avg"] = events_moving_avg
+
+    def acctbal_deciles(spark, sf_dir):
+        # global ntile is inherently a total sort — fine for a stats query
+        # whose output is 10 rows; deterministic tie-break on c_custkey
+        from pyspark.sql import Window
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        return (
+            cust.withColumn("decile", F.ntile(10).over(w))
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+                F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            )
+            .orderBy("decile")
+        )
+
+    q["acctbal_deciles"] = acctbal_deciles
+
+    def orders_above_cust_avg(spark, sf_dir):
+        # self-agg join: orders 1.5x above their own customer's average
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        avg_per_cust = orders.groupBy("o_custkey").agg(
+            F.avg("o_totalprice").alias("cust_avg")
+        )
+        return (
+            orders.join(avg_per_cust, "o_custkey")
+            .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.round("o_totalprice", 2).alias("totalprice"),
+            )
+            .orderBy("o_orderkey")
+        )
+
+    q["orders_above_cust_avg"] = orders_above_cust_avg
+
+    def events_asof_purchase(spark, sf_dir):
+        # as-of join: each click gets the user's most recent STRICTLY prior
+        # purchase timestamp.  Union-and-window implementation (one shuffle,
+        # no pair materialization — deduce_spark/spark/relational.py)
+        from deduce_spark.spark.relational import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts"
+        )
+        out = asof_join(clicks, purchases, key="user_id")
+        return out.select(
+            "event_id",
+            "user_id",
+            F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_purchase_ts"
+            ),
+        ).orderBy("event_id")
+
+    q["events_asof_purchase"] = events_asof_purchase
+
+    def domain_counts_salted(spark, sf_dir):
+        # two-phase salted aggregation over a 50%-hot derived domain key;
+        # result bit-identical to the plain GROUP BY the oracle runs
+        from deduce_spark.spark.relational import salted_count
+
+        d = _docs(spark, sf_dir).select(F.expr(_DOMAIN_SQL).alias("domain"))
+        return salted_count(d, "domain", n_salts=16).orderBy("domain")
+
+    q["domain_counts_salted"] = domain_counts_salted
+
+    def lineitem_percentiles(spark, sf_dir):
+        # exact interpolated percentiles (percentile == quantile_cont)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+                F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    q["lineitem_percentiles"] = lineitem_percentiles
+
+    def events_value_buckets(spark, sf_dir):
+        # broadcast range join onto a generated bucket-bounds dim
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        buckets = spark.range(0, 10).select(
+            (F.col("id") * 10).alias("lo"), ((F.col("id") + 1) * 10).alias("hi")
+        )
+        return (
+            ev.join(
+                F.broadcast(buckets),
+                (ev.value >= F.col("lo")) & (ev.value < F.col("hi")),
+            )
+            .groupBy("lo", "hi")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("lo")
+        )
+
+    q["events_value_buckets"] = events_value_buckets
 
     # -- annotator families over documents (RE2-safe regex; oracled) ------
 
@@ -812,6 +991,85 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "cust_no_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "brands_traded_semi": """
+            SELECT p_brand, COUNT(*) AS n_parts FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                         4) AS mov_avg_3
+            FROM events ORDER BY event_id
+        """,
+        "acctbal_deciles": """
+            WITH d AS (
+                SELECT c_acctbal,
+                       NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+                FROM customer)
+            SELECT decile, COUNT(*) AS n_customers,
+                   ROUND(AVG(c_acctbal), 2) AS avg_bal,
+                   ROUND(MIN(c_acctbal), 2) AS min_bal,
+                   ROUND(MAX(c_acctbal), 2) AS max_bal
+            FROM d GROUP BY decile ORDER BY decile
+        """,
+        "orders_above_cust_avg": """
+            WITH a AS (
+                SELECT o_custkey, AVG(o_totalprice) AS cust_avg
+                FROM orders GROUP BY o_custkey)
+            SELECT o_orderkey, o.o_custkey,
+                   ROUND(o_totalprice, 2) AS totalprice
+            FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+            WHERE o_totalprice > 1.5 * cust_avg
+            ORDER BY o_orderkey
+        """,
+        "events_asof_purchase": """
+            SELECT e.event_id, e.user_id,
+                   strftime((SELECT MAX(p.ts) FROM events p
+                             WHERE p.user_id = e.user_id
+                               AND p.event_type = 'purchase'
+                               AND p.ts < e.ts),
+                            '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+            FROM events e WHERE e.event_type = 'click'
+            ORDER BY event_id
+        """,
+        "domain_counts_salted": f"""
+            SELECT domain, COUNT(*) AS n
+            FROM (SELECT {_DOMAIN_SQL} AS domain FROM documents)
+            GROUP BY domain ORDER BY domain
+        """,
+        "lineitem_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_value_buckets": """
+            WITH buckets AS (
+                SELECT 10 * i AS lo, 10 * (i + 1) AS hi FROM range(0, 10) t(i))
+            SELECT lo, hi, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+            FROM events JOIN buckets ON value >= lo AND value < hi
+            GROUP BY lo, hi ORDER BY lo
         """,
         "regex_identifiers": f"""
             SELECT doc_id,

@@ -1,0 +1,103 @@
+"""Reusable relational operators for the scale path.
+
+These are generic DataFrame -> DataFrame operators that the KG pipeline's
+relational stages (and the driver queries) share.  Both are shapes Spark
+lacks as single built-ins but that compose cleanly from native functions —
+no UDFs, fully whole-stage-codegen, and each has an exact ANSI-SQL twin
+for the DuckDB oracle.
+
+- ``salted_count``: two-phase aggregation that defuses hot-key skew.  A
+  plain ``groupBy(key).count()`` sends every row of a hot key to one
+  reduce task; at 100 TB a 50%-hot domain makes that task the whole job.
+  Salting splits each key over ``n_salts`` partial groups (map-side
+  combinable), then sums the partials — the second shuffle moves only
+  ``n_keys * n_salts`` rows.  Result is bit-identical to the plain
+  group-by (the oracle's form).
+
+- ``asof_join``: "most recent prior event" join.  The naive relational
+  form is an inequality self-join (``l.ts >= r.ts``) which Spark executes
+  as a broadcast-nested-loop — quadratic per user.  The scalable form used
+  here is the union-and-window trick: tag right-side rows, sort once per
+  key, and carry the last right-side timestamp forward with
+  ``last(..., ignorenulls=True)`` over ``rowsBetween(unboundedPreceding,
+  -1)``.  One shuffle on the key, linear scan per partition — survives any
+  key cardinality because the window never materializes pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """groupBy(key).count() with hot-key salting; returns (key, n).
+
+    Phase 1 groups on (key, salt) — each hot key spreads over ``n_salts``
+    reduce tasks; phase 2 sums the ≤ ``n_salts`` partials per key.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias("n"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the greatest right ``right_ts`` that is
+    (strictly, by default) before the left row's ``left_ts``, per ``key``.
+
+    Output: left columns + ``asof_ts`` (null when no prior right row).
+    When ``value_col`` is given, that right column rides along as
+    ``asof_value``.
+
+    Implementation: union the two sides with a side tag, one window per
+    key ordered by (ts, side) — right rows sort before left rows at equal
+    timestamps iff ``strict`` is False — then ``last(ignorenulls=True)``
+    carries the most recent right timestamp forward.  No pair
+    materialization, one shuffle.
+    """
+    l_cols = left.columns
+    r_ts = F.col(right_ts).alias("_ts")
+    rv = (F.col(value_col) if value_col else F.lit(None)).alias("_rv")
+    tagged_r = right.select(
+        F.col(key).alias(key), r_ts, F.lit(1).alias("_is_right"), rv
+    )
+    tagged_l = left.select(
+        *l_cols, F.col(left_ts).alias("_ts"), F.lit(0).alias("_is_right"),
+        F.lit(None).cast(tagged_r.schema["_rv"].dataType).alias("_rv"),
+    )
+    for c in l_cols:
+        if c not in (key,):
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=False)
+
+    # strict: at equal ts a right row must NOT match a left row at the same
+    # instant -> left sorts first; non-strict: right sorts first
+    side_order = F.col("_is_right") if strict else -F.col("_is_right")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), side_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r_ts_only = F.when(F.col("_is_right") == 1, F.col("_ts"))
+    r_val_only = F.when(F.col("_is_right") == 1, F.col("_rv"))
+    out = (
+        unioned.withColumn("asof_ts", F.last(r_ts_only, ignorenulls=True).over(w))
+        .withColumn("asof_value", F.last(r_val_only, ignorenulls=True).over(w))
+        .filter(F.col("_is_right") == 0)
+        .drop("_ts", "_is_right", "_rv")
+    )
+    if value_col is None:
+        out = out.drop("asof_value")
+    return out

@@ -151,3 +151,65 @@ class TestMultimodal:
         frames = multimodal.frame_sample(media, n_frames=4).collect()
         assert len(frames) == 64
         assert all(len(r["frame"]) <= 256 for r in frames)
+
+
+class TestRelational:
+    def test_asof_join_strict_and_nonstrict(self, spark):
+        from deduce_spark.spark.relational import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")],
+            "user_id long, ts long, name string",
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)],
+            "user_id long, ts long, v double",
+        )
+        strict = {
+            r["name"]: (r["asof_ts"], r["asof_value"])
+            for r in asof_join(
+                left, right, key="user_id", value_col="v"
+            ).collect()
+        }
+        # ts=10 right row does NOT match the ts=10 left row when strict
+        assert strict["a"] == (None, None)
+        assert strict["b"] == (15, 150.0)
+        assert strict["c"] == (None, None)  # right row is in the future
+        loose = {
+            r["name"]: r["asof_ts"]
+            for r in asof_join(
+                left, right, key="user_id", value_col="v", strict=False
+            ).collect()
+        }
+        assert loose["a"] == 10  # same-instant row now matches
+        assert loose["b"] == 15
+
+    def test_salted_count_equals_plain_groupby(self, spark):
+        from deduce_spark.spark.relational import salted_count
+
+        # 90%-hot key: the exact shape salting is for
+        df = spark.range(0, 5000).select(
+            F.when(F.col("id") % 10 < 9, "hot").otherwise(
+                F.concat(F.lit("cold"), (F.col("id") % 7).cast("string"))
+            ).alias("k")
+        )
+        salted = {r["k"]: r["n"] for r in salted_count(df, "k").collect()}
+        plain = {
+            r["k"]: r["n"]
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert salted == plain
+        # phase 1 really spreads the hot key over multiple salt groups
+        from pyspark.sql import functions as SF
+
+        partials = (
+            df.withColumn(
+                "_salt",
+                SF.pmod(SF.xxhash64(SF.monotonically_increasing_id()), SF.lit(16)),
+            )
+            .filter(F.col("k") == "hot")
+            .select("_salt")
+            .distinct()
+            .count()
+        )
+        assert partials >= 8
