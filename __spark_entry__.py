@@ -66,6 +66,20 @@ _DOMAIN_SQL = (
     "CASE WHEN doc_id % 2 = 0 THEN 'hot.example.nl'"
     " ELSE 'voorbeeld' || CAST(doc_id % 37 AS STRING) || '.nl' END"
 )
+# 9-digit BSN candidates (~1 in 11 passes the elfproef checksum)
+_BSN_TEXT_SQL = (
+    "'burgerservicenummer ' || CAST(100000000 + (doc_id * 123457) % 899999999 AS STRING)"
+    " || ' geregistreerd'"
+)
+_POSTAL_TEXT_SQL = (
+    "'Adres: Straatweg ' || CAST(doc_id % 200 + 1 AS STRING) || ', '"
+    " || CAST(1000 + doc_id % 9000 AS STRING)"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' AB' ELSE 'CD' END || ' te Stad'"
+)
+_PHONE_TEXT_SQL = (
+    "'bel 06-' || CAST(10000000 + doc_id % 89999999 AS STRING)"
+    " || ' of 010 ' || CAST(1000000 + doc_id % 8999999 AS STRING)"
+)
 
 
 def _engine():
@@ -635,6 +649,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["regex_urls"] = regex_urls
 
+    def bsn_elfproef(spark, sf_dir):
+        # A4 BsnAnnotator semantics (reference deduce/annotator.py:597-651):
+        # 9-digit runs kept iff the elfproef checksum holds —
+        # sum(d_i * [9..2]) - d_9 ≡ 0 (mod 11).  Expressed natively
+        # (substring + arithmetic, no UDF) so DuckDB can replay it.
+        d = _docs(spark, sf_dir)
+        cand = d.select(
+            "doc_id",
+            F.expr(_BSN_TEXT_SQL).alias("t"),
+        ).select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("t"), F.lit(r"\d{9}"), 0)
+            ).alias("bsn"),
+        )
+        chk = sum(
+            F.substring("bsn", i, 1).cast("int") * (10 - i) for i in range(1, 9)
+        ) - F.substring("bsn", 9, 1).cast("int")
+        return (
+            cand.withColumn(
+                "valid", (((chk % 11) + 11) % 11 == 0).cast("int")
+            )
+            .orderBy("doc_id", "bsn")
+        )
+
+    q["bsn_elfproef"] = bsn_elfproef
+
+    def regex_postal(spark, sf_dir):
+        # postal_code annotator family (A2), RE2-portable subset
+        d = _docs(spark, sf_dir)
+        return (
+            d.select("doc_id", F.expr(_POSTAL_TEXT_SQL).alias("t"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("t"), F.lit(r"\b\d{4} ?[A-Z]{2}\b"), 0
+                    )
+                ).alias("postal"),
+            )
+            .orderBy("doc_id", "postal")
+        )
+
+    q["regex_postal"] = regex_postal
+
+    def regex_phone(spark, sf_dir):
+        # phone annotator family (A5, reference deduce/annotator.py:654-722),
+        # RE2-portable subset: NL 0-prefixed numbers with one optional
+        # hyphen/space separator
+        d = _docs(spark, sf_dir)
+        return (
+            d.select("doc_id", F.expr(_PHONE_TEXT_SQL).alias("t"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("t"), F.lit(r"\b0\d{1,3}[- ]?\d{6,8}\b"), 0
+                    )
+                ).alias("phone"),
+            )
+            .orderBy("doc_id", "phone")
+        )
+
+    q["regex_phone"] = regex_phone
+
     def mentions_gap_merge(spark, sf_dir):
         # relational form of P5 DeduceMergeAdjacentAnnotations (reference
         # deduce/annotation_processor.py:8-54): session-window-style gap
@@ -1090,6 +1169,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    unnest(regexp_extract_all({_DERIVED_TEXT_SQL}, '{_URL_PAT}')) AS url_text
             FROM documents ORDER BY doc_id, url_text
+        """,
+        "bsn_elfproef": f"""
+            WITH cand AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all({_BSN_TEXT_SQL}, '\\d{{9}}')) AS bsn
+                FROM documents)
+            SELECT doc_id, bsn,
+                   CASE WHEN ((
+                        CAST(substring(bsn, 1, 1) AS INT) * 9
+                      + CAST(substring(bsn, 2, 1) AS INT) * 8
+                      + CAST(substring(bsn, 3, 1) AS INT) * 7
+                      + CAST(substring(bsn, 4, 1) AS INT) * 6
+                      + CAST(substring(bsn, 5, 1) AS INT) * 5
+                      + CAST(substring(bsn, 6, 1) AS INT) * 4
+                      + CAST(substring(bsn, 7, 1) AS INT) * 3
+                      + CAST(substring(bsn, 8, 1) AS INT) * 2
+                      - CAST(substring(bsn, 9, 1) AS INT)) % 11 + 11) % 11 = 0
+                        THEN 1 ELSE 0 END AS valid
+            FROM cand ORDER BY doc_id, bsn
+        """,
+        "regex_postal": f"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all({_POSTAL_TEXT_SQL},
+                          '\\b\\d{{4}} ?[A-Z]{{2}}\\b')) AS postal
+            FROM documents ORDER BY doc_id, postal
+        """,
+        "regex_phone": f"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all({_PHONE_TEXT_SQL},
+                          '\\b0\\d{{1,3}}[- ]?\\d{{6,8}}\\b')) AS phone
+            FROM documents ORDER BY doc_id, phone
         """,
         "mentions_gap_merge": """
             WITH iv AS (
