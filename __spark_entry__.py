@@ -611,6 +611,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_value_buckets"] = events_value_buckets
 
+    def events_pivot(spark, sf_dir):
+        # pivot: event counts per user bucket x event type (explicit value
+        # list keeps the output schema static — required at scale, where a
+        # dynamic pivot would need an extra distinct pass)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        types = ["click", "error", "purchase", "signup", "view"]
+        return (
+            ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+            .groupBy("user_bucket")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .orderBy("user_bucket")
+        )
+
+    q["events_pivot"] = events_pivot
+
+    def bucket_except(spark, sf_dir):
+        # set difference (EXCEPT/subtract + distinct): doc_id buckets hit by
+        # even docs minus buckets hit by multiples of 26.  Derived from
+        # doc_id so the result is non-vacuous and stable at every sf (the
+        # testdata languages share one vocabulary, so a word-level set
+        # difference is always empty).
+        d = _docs(spark, sf_dir)
+        evens = (
+            d.filter(F.col("doc_id") % 2 == 0)
+            .select((F.col("doc_id") % 13).alias("bucket"))
+            .distinct()
+        )
+        mult26 = (
+            d.filter(F.col("doc_id") % 26 == 0)
+            .select((F.col("doc_id") % 13).alias("bucket"))
+            .distinct()
+        )
+        return evens.subtract(mult26).orderBy("bucket")
+
+    q["bucket_except"] = bucket_except
+
+    def orders_daily_delta(spark, sf_dir):
+        # lag family: day-over-day revenue delta per order date
+        from pyspark.sql import Window
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        daily = orders.groupBy("o_orderdate").agg(
+            F.sum("o_totalprice").alias("rev")
+        )
+        w = Window.orderBy("o_orderdate")
+        return (
+            daily.withColumn("prev", F.lag("rev").over(w))
+            .select(
+                "o_orderdate",
+                F.round("rev", 2).alias("revenue"),
+                F.round(F.col("rev") - F.col("prev"), 2).alias("delta"),
+            )
+            .orderBy("o_orderdate")
+        )
+
+    q["orders_daily_delta"] = orders_daily_delta
+
     # -- annotator families over documents (RE2-safe regex; oracled) ------
 
     def regex_identifiers(spark, sf_dir):
@@ -1260,6 +1318,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    unnest(regexp_extract_all({_DERIVED_TEXT_SQL}, '{_URL_PAT}')) AS url_text
             FROM documents ORDER BY doc_id, url_text
+        """,
+        "events_pivot": """
+            SELECT user_id % 10 AS user_bucket,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY user_bucket ORDER BY user_bucket
+        """,
+        "bucket_except": """
+            SELECT DISTINCT doc_id % 13 AS bucket FROM documents
+            WHERE doc_id % 2 = 0
+            EXCEPT
+            SELECT DISTINCT doc_id % 13 AS bucket FROM documents
+            WHERE doc_id % 26 = 0
+            ORDER BY bucket
+        """,
+        "orders_daily_delta": """
+            WITH daily AS (
+                SELECT o_orderdate, SUM(o_totalprice) AS rev
+                FROM orders GROUP BY o_orderdate)
+            SELECT o_orderdate, ROUND(rev, 2) AS revenue,
+                   ROUND(rev - LAG(rev) OVER (ORDER BY o_orderdate), 2) AS delta
+            FROM daily ORDER BY o_orderdate
         """,
         "bsn_elfproef": f"""
             WITH cand AS (
