@@ -39,6 +39,10 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3ish",
     "events_sessionize",
+    "events_asof_purchase",
+    "domain_counts_salted",
+    "lineitem_percentiles",
+    "simhash_pairs_docs",
 ]
 
 

@@ -169,3 +169,20 @@ def test_kg_output_is_partitioning_invariant(spark, pipeline, pages_path):
     t2, n2 = build(base.repartition(13))
     assert n1 == n2
     assert t1 == t2
+
+
+def test_cc_two_phase_long_chain(spark):
+    # a 2,000-node path graph has diameter 1,999: min-label propagation
+    # would need ~2,000 rounds, the small-star/large-star alternation
+    # converges within the 12-round cap (O(log^2 n))
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 1999).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    comp = {
+        r["surface_id"]: r["component"]
+        for r in kg.connected_components(edges, local_threshold=0).collect()
+    }
+    assert len(comp) == 2000
+    assert set(comp.values()) == {0}
