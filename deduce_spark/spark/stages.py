@@ -101,7 +101,9 @@ class AnnotatePipeline:
         # one partition per core are left alone (no gratuitous shuffle of
         # page bytes); narrower inputs are fanned out to 2 x cores.
         cores = self.spark.sparkContext.defaultParallelism
-        if pages.rdd.getNumPartitions() < cores:
+        # (streaming DataFrames expose no partitioning before execution and
+        # micro-batch sizing is the trigger's job — leave them alone)
+        if not pages.isStreaming and pages.rdd.getNumPartitions() < cores:
             pages = pages.repartition(2 * cores)
         bc = self._engine_bc
         token = self._token

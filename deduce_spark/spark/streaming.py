@@ -99,6 +99,108 @@ class StreamingMentionsWriter:
         )
 
 
+def windowed_tag_counts(
+    pages_stream: DataFrame,
+    pipe: AnnotatePipeline,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lang: Optional[str] = "nl",
+    from_html: bool = True,
+) -> DataFrame:
+    """Event-time windowed mention counts with a watermark for late pages.
+
+    pages_stream(url, warc_ts, html, ...) -> streaming DF
+    (window_start, window_end, tag, n).  Late pages within ``watermark``
+    of the max seen event time still update their window; later ones are
+    dropped (bounded state — the requirement for an unbounded crawl feed).
+    Append output mode: a window's row is emitted exactly once, when the
+    watermark passes its end.
+    """
+    annotated = pipe.annotate_pages(
+        pages_stream, lang=lang, from_html=from_html,
+        with_text=False, with_redacted=False,
+    )
+    mentions = pipe.mentions_long(annotated)
+    return (
+        mentions.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tag",
+            "n",
+        )
+    )
+
+
+_SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, first_ts timestamp, "
+    "last_ts timestamp"
+)
+_SESSION_STATE_SCHEMA = "session_id long, n_events long, first_ts long, last_ts long"
+
+SESSION_GAP_S = 1800
+
+
+def sessionize_events_stateful(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user session assembly with a 30-minute inactivity gap.
+
+    State per user = the OPEN session (id, count, first/last ts); a batch's
+    events extend it or close it and open the next.  Emits one row per
+    session TOUCHED in the batch (latest snapshot wins downstream — the
+    idempotent icetable sink pattern).  This is the operator shape Spark's
+    built-in windowed aggs can't express: session identity depends on the
+    running gap, not on fixed window bounds.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            session_id, n_events, first_ts, last_ts = state.get
+        else:
+            session_id, n_events, first_ts, last_ts = -1, 0, 0, 0
+        touched = {}
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                epoch = int(ts.timestamp())
+                if session_id < 0 or epoch - last_ts > SESSION_GAP_S:
+                    session_id += 1 if session_id >= 0 else 2  # -1 -> 1, else +1
+                    n_events, first_ts = 0, epoch
+                n_events += 1
+                last_ts = epoch
+                touched[session_id] = (n_events, first_ts, last_ts)
+        state.update((session_id, n_events, first_ts, last_ts))
+        if not touched:
+            return iter([])
+        out = pd.DataFrame(
+            {
+                "user_id": [int(user_id)] * len(touched),
+                "session_id": list(touched),
+                "n_events": [v[0] for v in touched.values()],
+                "first_ts": [pd.Timestamp(v[1], unit="s") for v in touched.values()],
+                "last_ts": [pd.Timestamp(v[2], unit="s") for v in touched.values()],
+            }
+        )
+        return iter([out])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_pages_to_mentions(
     spark: SparkSession,
     pages_dir: str,

@@ -1,0 +1,133 @@
+"""Watermarked windowed aggregation + applyInPandasWithState sessionizer.
+
+Both tests drive two consecutive ``availableNow`` runs over one checkpoint:
+the watermark / operator state persists in the state store between runs,
+which is exactly how an incremental crawl-feed job restarts in production.
+"""
+
+import datetime as dt
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduce_spark.spark.stages import AnnotatePipeline
+from deduce_spark.spark import streaming as st
+
+UTC = dt.timezone.utc
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, text string, lang string"
+
+
+def _pages_rows(*hours_minutes):
+    base = dt.datetime(2024, 3, 1, tzinfo=UTC)
+    return [
+        (
+            f"https://example.nl/p{h}_{m}",
+            base + dt.timedelta(hours=h, minutes=m),
+            "Afspraak op 12 maart 2020 in de kliniek.",
+            "nl",
+        )
+        for h, m in hours_minutes
+    ]
+
+
+@pytest.fixture(scope="module")
+def pipe(spark):
+    return AnnotatePipeline(spark)
+
+
+def _run_stream(spark, src_dir, checkpoint, make_sink_df, collected,
+                schema=PAGES_SCHEMA):
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    out = make_sink_df(stream)
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windowed_tag_counts_watermark(spark, pipe, tmp_path):
+    src = tmp_path / "pages"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def build(stream):
+        return st.windowed_tag_counts(
+            stream, pipe, window="1 hour", watermark="2 hours",
+            from_html=False,
+        )
+
+    # run 1: rows in hour-windows 0,0,1,2,3,5 -> final watermark 03:10
+    spark.createDataFrame(
+        _pages_rows((0, 10), (0, 20), (1, 10), (2, 10), (3, 10), (5, 10)),
+        PAGES_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    got1: list = []
+    _run_stream(spark, f"{src}/*", ckpt, build, got1)
+    # the final watermark (05:10 - 2h = 03:10) closes hour-windows 0,1,2;
+    # append mode emits each exactly once
+    datum1 = {
+        r["window_start"].hour: r["n"] for r in got1 if r["tag"] == "datum"
+    }
+    assert datum1 == {0: 2, 1: 1, 2: 1}
+
+    # run 2: one on-time page (06:10) + one LATE page (00:30, behind the
+    # persisted 03:10 watermark -> must be dropped)
+    spark.createDataFrame(
+        _pages_rows((6, 10), (0, 30)), PAGES_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    got2: list = []
+    _run_stream(spark, f"{src}/*", ckpt, build, got2)
+
+    datum2 = {
+        r["window_start"].hour: r["n"] for r in got2 if r["tag"] == "datum"
+    }
+    # the new watermark (06:10 - 2h = 04:10) closes window 3 only; the late
+    # 00:30 page produced NO resurrected window-0 row (dropped by the
+    # persisted watermark) and window 5 stays open
+    assert datum2 == {3: 1}
+
+
+EVENTS_SCHEMA = "user_id long, ts timestamp"
+
+
+def test_sessionize_stateful_across_runs(spark, tmp_path):
+    src = tmp_path / "events"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    base = dt.datetime(2024, 3, 1, 10, 0, tzinfo=UTC)
+
+    def rows(*minutes):
+        return [(7, base + dt.timedelta(minutes=m)) for m in minutes]
+
+    # run 1: two events 10 minutes apart -> one open session
+    spark.createDataFrame(rows(0, 10), EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    got1: list = []
+    _run_stream(spark, f"{src}/*", ckpt, st.sessionize_events_stateful, got1,
+                schema=EVENTS_SCHEMA)
+    assert [(r["session_id"], r["n_events"]) for r in got1] == [(1, 2)]
+
+    # run 2: +15 min extends session 1 (state survived the restart);
+    # +3 hours opens session 2
+    spark.createDataFrame(rows(25, 180), EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    got2: list = []
+    _run_stream(spark, f"{src}/*", ckpt, st.sessionize_events_stateful, got2,
+                schema=EVENTS_SCHEMA)
+    snap = {r["session_id"]: r["n_events"] for r in got2}
+    assert snap == {1: 3, 2: 1}
+    s1 = next(r for r in got2 if r["session_id"] == 1)
+    assert s1["first_ts"] == base.replace(tzinfo=None)
+    assert s1["last_ts"] == (base + dt.timedelta(minutes=25)).replace(tzinfo=None)
