@@ -1001,6 +1001,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_topk_embeddings"] = lsh_topk_embeddings
 
+    def ivf_topk_embeddings(spark, sf_dir):
+        # IVF-bucketed ANN (scale path alongside lsh_topk): deterministic
+        # spherical k-means coarse quantizer, probe 4 of 16 inverted lists
+        from deduce_spark.spark.similarity import ivf_topk
+
+        vecs = _emb(spark, sf_dir)
+        return ivf_topk(
+            vecs, vecs.filter(F.col("vec_id") < 10), k=3
+        ).orderBy("query_id", "rank")
+
+    q["ivf_topk_embeddings"] = ivf_topk_embeddings
+
     def winnow_fingerprints(spark, sf_dir):
         from deduce_spark.spark.textstats import winnowing_fingerprint
 

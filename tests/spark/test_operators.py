@@ -213,3 +213,31 @@ class TestRelational:
             .count()
         )
         assert partials >= 8
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, vecs):
+        queries = vecs.filter(F.col("vec_id") < 20)
+        brute = similarity.cosine_topk(vecs, queries, k=1).filter(
+            F.col("rank") == 1
+        )
+        approx = similarity.ivf_topk(
+            vecs, queries, k=5, n_centroids=16, n_probe=4
+        )
+        hits = (
+            brute.alias("b")
+            .join(
+                approx.alias("a"),
+                (F.col("b.query_id") == F.col("a.query_id"))
+                & (F.col("b.neighbor_id") == F.col("a.neighbor_id")),
+            )
+            .count()
+        )
+        # probing 4 of 16 lists must recover most true top-1 neighbours
+        assert hits >= 14
+
+    def test_ivf_deterministic(self, vecs):
+        queries = vecs.filter(F.col("vec_id") < 5)
+        a = sorted(map(tuple, similarity.ivf_topk(vecs, queries, k=3).collect()))
+        b = sorted(map(tuple, similarity.ivf_topk(vecs, queries, k=3).collect()))
+        assert a == b
