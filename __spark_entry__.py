@@ -71,6 +71,9 @@ _BSN_TEXT_SQL = (
     "'burgerservicenummer ' || CAST(100000000 + (doc_id * 123457) % 899999999 AS STRING)"
     " || ' geregistreerd'"
 )
+# short name-like strings where single-edit pairs (transposition, insert,
+# delete) actually occur across doc_ids
+_NAME_TEXT_SQL = "'naam' || CAST(doc_id % 60 AS STRING)"
 _POSTAL_TEXT_SQL = (
     "'Adres: Straatweg ' || CAST(doc_id % 200 + 1 AS STRING) || ', '"
     " || CAST(1000 + doc_id % 9000 AS STRING)"
@@ -808,6 +811,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["regex_phone"] = regex_phone
 
+    def tokenize_t1(spark, sf_dir):
+        # T1 tokenizer semantics (reference deduce/tokenizer.py:6): words,
+        # single \n/\t/\r, runs of >=4 spaces, any other single non-space
+        # char; 1-3 spaces emit nothing.  Same regex replayed by DuckDB
+        # (ASCII \w in both engines; testdata text is ASCII).  Offsets are
+        # kernel-only — the SQL-checkable projection is the token stream.
+        pat = r"\w+|[\n\r\t]| {4,}|[^ ]"
+        d = _docs(spark, sf_dir)
+        return (
+            d.select("doc_id", F.expr(_DERIVED_TEXT_SQL).alias("t"))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.regexp_extract_all(F.col("t"), F.lit(pat), 0)
+                ).alias("pos", "token"),
+            )
+            .orderBy("doc_id", "pos")
+        )
+
+    q["tokenize_t1"] = tokenize_t1
+
+    def fuzzy_name_pairs(spark, sf_dir):
+        # A8 fuzzy matching (reference deduce/utils.py:13-32, rapidfuzz
+        # DamerauLevenshtein score_cutoff=1): name pairs within edit
+        # distance 1, computed by OUR kernel distance inside an Arrow pass;
+        # DuckDB replays with damerau_levenshtein() <= 1.  (OSA and full DL
+        # agree at threshold 1 — a single edit is the same op set in both.)
+        import pandas as pd
+
+        from deduce_spark.kernel.distance import within_edit_distance
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+        names = d.select(
+            "doc_id", F.expr(_NAME_TEXT_SQL).alias("name")
+        )
+        pairs = (
+            names.select(F.col("doc_id").alias("a"), F.col("name").alias("na"))
+            .join(
+                names.select(F.col("doc_id").alias("b"), F.col("name").alias("nb")),
+                F.col("a") < F.col("b"),
+            )
+        )
+
+        def run(batches):
+            for batch in batches:
+                mask = [
+                    within_edit_distance(x, y, 1)
+                    for x, y in zip(batch["na"], batch["nb"])
+                ]
+                out = batch[pd.Series(mask, index=batch.index)]
+                yield out[["a", "b", "na", "nb"]]
+
+        return pairs.mapInPandas(
+            run, schema="a long, b long, na string, nb string"
+        ).orderBy("a", "b")
+
+    q["fuzzy_name_pairs"] = fuzzy_name_pairs
+
     def mentions_gap_merge(spark, sf_dir):
         # relational form of P5 DeduceMergeAdjacentAnnotations (reference
         # deduce/annotation_processor.py:8-54): session-window-style gap
@@ -1386,6 +1447,27 @@ def oracle_sql() -> dict[str, str]:
                    unnest(regexp_extract_all({_PHONE_TEXT_SQL},
                           '\\b0\\d{{1,3}}[- ]?\\d{{6,8}}\\b')) AS phone
             FROM documents ORDER BY doc_id, phone
+        """,
+        "tokenize_t1": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all({_DERIVED_TEXT_SQL},
+                           '\\w+|[\\n\\r\\t]| {{4,}}|[^ ]') AS ts
+                FROM documents)
+            SELECT doc_id,
+                   generate_subscripts(ts, 1) - 1 AS pos,
+                   unnest(ts) AS token
+            FROM toks ORDER BY doc_id, pos
+        """,
+        "fuzzy_name_pairs": f"""
+            WITH names AS (
+                SELECT doc_id, {_NAME_TEXT_SQL} AS name
+                FROM documents WHERE doc_id < 80)
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   l.name AS na, r.name AS nb
+            FROM names l JOIN names r ON l.doc_id < r.doc_id
+            WHERE damerau_levenshtein(l.name, r.name) <= 1
+            ORDER BY a, b
         """,
         "mentions_gap_merge": """
             WITH iv AS (
