@@ -81,6 +81,7 @@ class AnnotatePipeline:
         with_redacted: bool = True,
         with_text: bool = True,
         enabled: Optional[set[str]] = None,
+        person_col: Optional[str] = None,
     ) -> DataFrame:
         """pages(url, warc_ts, html, text?, lang) -> annotated pages.
 
@@ -91,10 +92,20 @@ class AnnotatePipeline:
         ``with_text=False`` / ``with_redacted=False`` drop the wide string
         columns from the output (one third the Arrow traffic when only the
         mention spans are consumed downstream).
+
+        ``person_col``: optional per-page known-entity struct column
+        ``struct<first_names:array<string>, initials:string,
+        surname:string>`` — the Spark carrier for the reference's
+        ``metadata["patient"]`` (A8 PatientNameAnnotator,
+        deduce/annotator.py:343-485; generalizes to per-page known
+        entities in the KG graft).  Null rows skip A8 exactly like a
+        missing metadata dict.
         """
         if lang is not None:
             pages = pages.filter(F.col("lang") == lang)
         cols = ["url", "warc_ts", "lang"] + (["html"] if from_html else ["text"])
+        if person_col is not None:
+            cols.append(person_col)
         pages = pages.select(*cols)
         # the per-page phase is CPU-bound Python, not IO-bound: parallelism
         # must track cores, not input bytes.  Inputs that scan with at least
@@ -110,6 +121,7 @@ class AnnotatePipeline:
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             engine = _cached_engine(token, bc)
+            from deduce_spark.kernel.doc import Person
             from deduce_spark.kernel.html_text import extract_text
 
             for batch in batches:
@@ -118,10 +130,33 @@ class AnnotatePipeline:
                     if from_html
                     else list(batch["text"])
                 )
+                if person_col is not None:
+                    metadatas = [
+                        (
+                            {
+                                "patient": Person(
+                                    first_names=(
+                                        list(p["first_names"])
+                                        if p["first_names"] is not None
+                                        else None
+                                    ),
+                                    initials=p["initials"],
+                                    surname=p["surname"],
+                                )
+                            }
+                            if p is not None
+                            else None
+                        )
+                        for p in batch[person_col]
+                    ]
+                else:
+                    metadatas = [None] * len(texts)
                 mentions_col = []
                 redacted_col = []
-                for text in texts:
-                    doc = engine.deidentify(text, enabled=enabled)
+                for text, metadata in zip(texts, metadatas):
+                    doc = engine.deidentify(
+                        text, metadata=metadata, enabled=enabled
+                    )
                     mentions_col.append(
                         [
                             (m.text, m.start, m.end, m.tag, m.priority)

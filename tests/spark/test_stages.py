@@ -56,3 +56,36 @@ def test_lang_filter_pushdown(spark, pipeline, pages_path):
     annotated = pipeline.annotate_pages(pages, lang="nl")
     plan = annotated._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,nl)]" in plan
+
+
+def test_annotate_pages_person_metadata(spark):
+    # A8 through the Spark path: per-page known person drives patient
+    # tagging; null person rows skip A8 (reference metadata=None behavior)
+    from deduce_spark.spark.stages import AnnotatePipeline
+
+    pipe = AnnotatePipeline(spark)
+    schema = (
+        "url string, warc_ts timestamp, text string, lang string, "
+        "person struct<first_names:array<string>, initials:string, "
+        "surname:string>"
+    )
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", ts, "betreft: Jan Jansen, de patient.", "nl",
+         (["Jan"], None, "Jansen")),
+        ("u2", ts, "betreft: Jan Jansen, de patient.", "nl", None),
+    ]
+    pages = spark.createDataFrame(rows, schema)
+    out = pipe.annotate_pages(
+        pages, lang="nl", from_html=False, person_col="person"
+    )
+    tags = {
+        r["url"]: sorted(m["tag"] for m in r["mentions"])
+        for r in out.collect()
+    }
+    assert "patient" in tags["u1"]
+    # without metadata the same text still gets name mentions, but they
+    # cannot be patient-tagged
+    assert "patient" not in tags["u2"] and len(tags["u2"]) >= 1
