@@ -1092,6 +1092,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_probe"] = media_probe
 
+    def media_resize(spark, sf_dir):
+        from deduce_spark.spark.multimodal import resize_images, synthetic_media
+
+        return (
+            resize_images(synthetic_media(spark, 64), max_side=8)
+            .select("media_id", "width", "height", F.crc32("media").alias("crc"))
+            .orderBy("media_id")
+        )
+
+    q["media_resize"] = media_resize
+
     return q
 
 

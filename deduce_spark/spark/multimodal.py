@@ -154,6 +154,64 @@ def frame_sample(df: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> Da
     return df.select("media_id", "media").mapInPandas(run, schema=schema)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 32, use_decoder: bool = False
+) -> DataFrame:
+    """media -> resized media + (width, height) metadata.
+
+    With ``use_decoder`` a real decoder backend is required
+    (NotImplementedError otherwise — STUB: no codecs in this container).
+    Default path: the blob is treated as a square byte raster (side =
+    floor(sqrt(len))) and box-downsampled with numpy to ``max_side`` —
+    deterministic, so the full resize pipeline (binary in, smaller binary +
+    typed dims out, Arrow both ways) is exercised with production batch
+    shapes.
+    """
+    pil = _try_import_pil()
+    if use_decoder and pil is None:
+        raise NotImplementedError(
+            "image resize requires PIL; not available in this environment "
+            "(stub per SURVEY.md — Spark plumbing is real, codec is not)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, blobs, ws, hs = [], [], [], []
+            for mid, blob in zip(batch["media_id"], batch["media"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                side = max(1, int(len(b) ** 0.5))
+                raster = b[: side * side].reshape(side, side)
+                if side > max_side:
+                    # box filter: average over ceil(side/max_side) blocks
+                    f = -(-side // max_side)
+                    pad = (-side) % f
+                    if pad:
+                        raster = np.pad(raster, ((0, pad), (0, pad)), mode="edge")
+                    s = raster.shape[0] // f
+                    raster = (
+                        raster.reshape(s, f, s, f).mean(axis=(1, 3)).astype(np.uint8)
+                    )
+                ids.append(int(mid))
+                blobs.append(raster.tobytes())
+                ws.append(int(raster.shape[1]))
+                hs.append(int(raster.shape[0]))
+            yield pd.DataFrame(
+                {"media_id": ids, "media": blobs, "width": ws, "height": hs}
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks (doc_id-keyed
     blobs with recognizable magic bytes)."""

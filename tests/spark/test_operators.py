@@ -241,3 +241,21 @@ class TestIVF:
         a = sorted(map(tuple, similarity.ivf_topk(vecs, queries, k=3).collect()))
         b = sorted(map(tuple, similarity.ivf_topk(vecs, queries, k=3).collect()))
         assert a == b
+
+
+class TestResize:
+    def test_resize_deterministic_dims_and_bytes(self, spark):
+        media = multimodal.synthetic_media(spark, 16)
+        out = {r["media_id"]: r for r in multimodal.resize_images(media, max_side=8).collect()}
+        assert len(out) == 16
+        assert all(r["width"] <= 8 and r["height"] <= 8 for r in out.values())
+        assert all(len(r["media"]) == r["width"] * r["height"] for r in out.values())
+        again = {r["media_id"]: bytes(r["media"])
+                 for r in multimodal.resize_images(media, max_side=8).collect()}
+        assert {k: bytes(v["media"]) for k, v in out.items()} == again
+
+    def test_resize_decoder_stub_raises(self, spark):
+        media = multimodal.synthetic_media(spark, 4)
+        import pytest as pt
+        with pt.raises(NotImplementedError):
+            multimodal.resize_images(media, use_decoder=True)
