@@ -400,7 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.desc("total_spend"), F.asc("c_custkey")
         )
         return (
-            spend.withColumn("rank", F.row_number().over(w))
+            spend.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= 3)
             .select("c_mktsegment", "rank", "c_custkey", "total_spend")
             .orderBy("c_mktsegment", "rank")
@@ -514,7 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         w = Window.orderBy("c_acctbal", "c_custkey")
         return (
-            cust.withColumn("decile", F.ntile(10).over(w))
+            cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
             .groupBy("decile")
             .agg(
                 F.count(F.lit(1)).alias("n_customers"),
@@ -825,7 +825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id",
                 F.posexplode(
                     F.regexp_extract_all(F.col("t"), F.lit(pat), 0)
-                ).alias("pos", "token"),
+                ).alias("pos0", "token"),
+            )
+            .select(
+                "doc_id", F.col("pos0").cast("long").alias("pos"), "token"
             )
             .orderBy("doc_id", "pos")
         )

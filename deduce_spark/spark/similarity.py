@@ -63,7 +63,8 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank",
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
                 F.round("cosine", 6).alias("cosine"))
     )
 
@@ -269,7 +270,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
             F.round("cosine", 6).alias("cosine"),
         )
     )
@@ -317,5 +318,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cosine", 6).alias("cosine"))
     )
