@@ -255,6 +255,65 @@ class IceTable:
 
     # -- maintenance -----------------------------------------------------
 
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_partition: int = 4,
+        files_per_partition: int = 1,
+    ) -> dict:
+        """Small-file compaction (Iceberg rewriteDataFiles parity).
+
+        Streaming/append workloads leave many small files per partition;
+        at corpus scale every file is an open/seek/footer round-trip per
+        task, so scan cost grows with file COUNT, not bytes.  Partitions
+        whose file count exceeds ``max_files_per_partition`` are rewritten
+        into ``files_per_partition`` file(s) each, committed as a NEW
+        snapshot (operation 'compact') that replaces only those
+        partitions — untouched partitions are inherited, prior snapshots
+        stay readable (time travel intact) until expire_snapshots.
+        """
+        if not self.exists():
+            return {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
+        man = self.manifest()
+        spec = man["partition_spec"]
+        fat = [e for e in man["entries"] if len(e["files"]) > max_files_per_partition]
+        if not fat:
+            return {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
+        fat_keys = {json.dumps(e["partition"], sort_keys=True) for e in fat}
+        df = self.read(
+            spark,
+            partition_filter=lambda p: json.dumps(p, sort_keys=True) in fat_keys,
+        )
+        if spec:
+            # one output file per (partition, slot): repartition on the
+            # partition columns so every partitionBy dir gets exactly
+            # files_per_partition task outputs
+            df = df.repartition(
+                max(1, len(fat) * files_per_partition), *spec
+            )
+        else:
+            df = df.coalesce(files_per_partition)
+        before = sum(len(e["files"]) for e in fat)
+        man2 = self.write(
+            df,
+            partition_by=tuple(spec),
+            mode="overwrite-partitions" if spec else "overwrite",
+            summary={"compaction": True,
+                     "compacted_partitions": len(fat),
+                     "files_before": before},
+        )
+        after = sum(
+            len(e["files"])
+            for e in man2["entries"]
+            if json.dumps(e["partition"], sort_keys=True) in fat_keys
+        )
+        return {
+            "compacted_partitions": len(fat),
+            "files_before": before,
+            "files_after": after,
+            "snapshot_id": man2["snapshot_id"],
+        }
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` snapshots (Iceberg
         expireSnapshots parity): partition directories referenced by no

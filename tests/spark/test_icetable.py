@@ -108,3 +108,29 @@ def test_partition_spec_change_requires_full_overwrite(spark, table):
     table.write(_df(spark, [(0, "b", 2)]), partition_by=("part_id", "k"),
                 mode="overwrite")
     assert table.read(spark).count() == 1
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = IceTable(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 4).cast("string").alias("part_id"), F.col("id").alias("v")
+    )
+    # force many small files per partition
+    t.write(df.repartition(16), partition_by=("part_id",), mode="overwrite")
+    before = t.manifest()
+    assert all(len(e["files"]) > 4 for e in before["entries"])
+    pre_rows = sorted(r["v"] for r in t.read(spark).collect())
+    pre_snap = before["snapshot_id"]
+
+    res = t.compact(spark, max_files_per_partition=4, files_per_partition=1)
+    assert res["compacted_partitions"] == 4
+    assert res["files_after"] < res["files_before"]
+    after = t.manifest()
+    assert all(len(e["files"]) <= 2 for e in after["entries"])
+    # data identical, old snapshot still readable (time travel intact)
+    assert sorted(r["v"] for r in t.read(spark).collect()) == pre_rows
+    assert sorted(r["v"] for r in t.read(spark, snapshot_id=pre_snap).collect()) == pre_rows
+    # idempotent: nothing left to compact
+    assert t.compact(spark, max_files_per_partition=4)["compacted_partitions"] == 0
