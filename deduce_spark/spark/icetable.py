@@ -46,6 +46,55 @@ from pyspark.sql import DataFrame, SparkSession
 _FORMAT_VERSION = 1
 
 
+_STATS_TYPES = (int, float, str, bool)
+
+
+def _merge_column_stats(stats: dict, meta) -> None:
+    """Fold one parquet file's footer min/max into the partition entry.
+
+    Only JSON-safe primitive types are kept (ints/floats/strings/bools);
+    anything else — or a column missing stats in any row group — drops the
+    column from skipping (absence means 'cannot prune', never wrong
+    results)."""
+    seen: dict[str, tuple] = {}
+    dropped = set(stats.get("_dropped", ()))
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested columns not skippable
+            st = col.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, _STATS_TYPES)
+                or not isinstance(st.max, _STATS_TYPES)
+            ):
+                dropped.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                dropped.add(name)
+                continue
+            cur = seen.get(name)
+            seen[name] = (
+                (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+            )
+    for name, (lo, hi) in seen.items():
+        if name in dropped:
+            continue
+        cur = stats.get(name)
+        stats[name] = (
+            [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+        )
+    for name in dropped:
+        stats.pop(name, None)
+    if dropped:
+        stats["_dropped"] = sorted(dropped)
+
+
 def _atomic_write(path: Path, text: str) -> None:
     tmp = path.with_name(path.name + ".tmp")
     tmp.write_text(text)
@@ -212,6 +261,7 @@ class IceTable:
             entry["files"].append(p.name)
             entry["rows"] += meta.num_rows
             entry["bytes"] += p.stat().st_size
+            _merge_column_stats(entry.setdefault("stats", {}), meta)
         return list(by_part.values())
 
     # -- read ----------------------------------------------------------------
@@ -221,20 +271,41 @@ class IceTable:
         spark: SparkSession,
         snapshot_id: Optional[int] = None,
         partition_filter: Optional[Callable[[dict], bool]] = None,
+        column_range: Optional[dict] = None,
     ) -> DataFrame:
         """DataFrame of the snapshot's live file set.
 
         ``partition_filter`` prunes partition directories manifest-side
         (receives the partition-values dict, e.g. {'part_id': '3'}) before
-        Spark lists anything.  Entries are grouped per snap dir so Spark's
-        own partition-column discovery (basePath) still applies; the final
-        plan is a union of parquet scans — column pruning and predicate
-        pushdown reach every leaf.
+        Spark lists anything.  ``column_range`` is manifest-level data
+        skipping (Iceberg metrics-pruning parity): ``{"col": (lo, hi)}``
+        declares the caller will only keep rows with col BETWEEN lo AND hi,
+        so partitions whose footer-derived [min, max] cannot intersect are
+        skipped without listing a file.  Entries lacking stats for a column
+        are always kept (absence = cannot prune, never wrong results) — the
+        caller still applies the actual row filter.  Entries are grouped
+        per snap dir so Spark's own partition-column discovery (basePath)
+        still applies; the final plan is a union of parquet scans — column
+        pruning and predicate pushdown reach every leaf.
         """
         man = self.manifest(snapshot_id)
         entries = man["entries"]
         if partition_filter is not None:
             entries = [e for e in entries if partition_filter(e["partition"])]
+        if column_range:
+            def _may_match(e: dict) -> bool:
+                stats = e.get("stats") or {}
+                for col, (lo, hi) in column_range.items():
+                    rng = stats.get(col)
+                    if rng is None:
+                        continue
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        return False
+                return True
+
+            entries = [e for e in entries if _may_match(e)]
         if not entries:
             import pyspark.sql.types as T
 

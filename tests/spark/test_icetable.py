@@ -134,3 +134,29 @@ def test_compact_small_files(spark, tmp_path):
     assert sorted(r["v"] for r in t.read(spark, snapshot_id=pre_snap).collect()) == pre_rows
     # idempotent: nothing left to compact
     assert t.compact(spark, max_files_per_partition=4)["compacted_partitions"] == 0
+
+
+def test_column_stats_data_skipping(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = IceTable(tmp_path / "t")
+    # part p0 holds v in [0, 999], p1 in [1000, 1999], p2 in [2000, 2999]
+    df = spark.range(0, 3000).select(
+        F.floor(F.col("id") / 1000).cast("string").alias("part_id"),
+        F.col("id").alias("v"),
+    )
+    t.write(df.repartition("part_id"), partition_by=("part_id",), mode="overwrite")
+    man = t.manifest()
+    assert all("v" in (e.get("stats") or {}) for e in man["entries"])
+
+    # range (1200, 1800) intersects only p1 -> exactly one entry scanned
+    pruned = t.read(spark, column_range={"v": (1200, 1800)})
+    rows = pruned.filter((F.col("v") >= 1200) & (F.col("v") <= 1800)).count()
+    assert rows == 601
+    # (Spark re-infers the discovered partition column as int)
+    parts = {str(r["part_id"]) for r in pruned.select("part_id").distinct().collect()}
+    assert parts == {"1"}
+
+    # open-ended bound and a column without stats are safe
+    assert t.read(spark, column_range={"v": (2500, None)}).count() == 1000
+    assert t.read(spark, column_range={"nope": (0, 1)}).count() == 3000
