@@ -324,6 +324,64 @@ class IceTable:
             out = out.unionByName(d)
         return out
 
+    def upsert(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        summary: Optional[dict] = None,
+    ) -> dict:
+        """Keyed upsert (MERGE INTO parity): rows in ``df`` replace
+        current rows with equal ``keys``; others are inserted.
+
+        Partition-scoped: only partitions that receive rows from ``df``
+        are rewritten (their surviving old rows are read back, anti-joined
+        on the keys, unioned with the new rows and committed via dynamic
+        partition overwrite).  Untouched partitions are inherited as-is —
+        at corpus scale an upsert touching one day's partitions must not
+        rewrite the other 10^3.  NOTE: a key that MOVES partitions (its
+        partition-column value changed) leaves the old row in the old
+        partition — like Iceberg, partition columns of a keyed table
+        should be derived from the key.
+        """
+        from pyspark.sql import functions as F  # local to avoid cycle
+
+        if not self.exists():
+            spec = ()
+            return self.write(df, partition_by=spec, mode="overwrite",
+                              summary=dict(summary or {}, upsert=True))
+        spec = tuple(self._metadata().get("partition_spec", []))
+        key_list = list(keys)
+        if spec:
+            touched = [
+                {k: str(r[k]) for k in spec}
+                for r in df.select(*spec).distinct().collect()
+            ]
+            touched_keys = {json.dumps(p, sort_keys=True) for p in touched}
+            current = self.read(
+                self._require_session(df),
+                partition_filter=lambda p: json.dumps(p, sort_keys=True)
+                in touched_keys,
+            )
+        else:
+            current = self.read(self._require_session(df))
+        survivors = current.join(
+            df.select(*key_list).distinct(), on=key_list, how="left_anti"
+        )
+        merged = survivors.select(*df.columns).unionByName(df)
+        if spec:
+            merged = merged.repartition(*spec)
+        return self.write(
+            merged,
+            partition_by=spec,
+            mode="overwrite-partitions" if spec else "overwrite",
+            summary=dict(summary or {}, upsert=True,
+                         upsert_keys=key_list),
+        )
+
+    @staticmethod
+    def _require_session(df: DataFrame) -> SparkSession:
+        return df.sparkSession
+
     # -- maintenance -----------------------------------------------------
 
     def compact(

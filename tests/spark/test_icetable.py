@@ -1,5 +1,7 @@
 """Iceberg-layout table: snapshots, dynamic partition overwrite, pruning."""
 
+import json
+
 import pytest
 
 from deduce_spark.spark.icetable import IceTable
@@ -160,3 +162,40 @@ def test_column_stats_data_skipping(spark, tmp_path):
     # open-ended bound and a column without stats are safe
     assert t.read(spark, column_range={"v": (2500, None)}).count() == 1000
     assert t.read(spark, column_range={"nope": (0, 1)}).count() == 3000
+
+
+def test_upsert_partition_scoped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = IceTable(tmp_path / "t")
+    base = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("part_id"),
+        F.col("id").alias("k"),
+        F.lit("old").alias("val"),
+    )
+    t.write(base.repartition("part_id"), partition_by=("part_id",), mode="overwrite")
+    snap0 = t.manifest()["snapshot_id"]
+    dirs_before = {
+        json.dumps(e["partition"]): e["dir"] for e in t.manifest()["entries"]
+    }
+
+    # update k=1 (lives in part 1) and insert a brand-new key into part 1
+    up = spark.createDataFrame(
+        [("1", 1, "new"), ("1", 9001, "new")],
+        "part_id string, k long, val string",
+    )
+    t.upsert(up, keys=["k"])
+
+    cur = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert len(cur) == 301
+    assert cur[1] == "new" and cur[9001] == "new" and cur[2] == "old"
+    # untouched partitions inherited (same dirs), only part 1 rewritten
+    dirs_after = {
+        json.dumps(e["partition"]): e["dir"] for e in t.manifest()["entries"]
+    }
+    assert dirs_after['{"part_id": "0"}'] == dirs_before['{"part_id": "0"}']
+    assert dirs_after['{"part_id": "2"}'] == dirs_before['{"part_id": "2"}']
+    assert dirs_after['{"part_id": "1"}'] != dirs_before['{"part_id": "1"}']
+    # time travel: the pre-upsert snapshot still shows the old value
+    old = {r["k"]: r["val"] for r in t.read(spark, snapshot_id=snap0).collect()}
+    assert old[1] == "old" and 9001 not in old
