@@ -228,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
     if not args.kg_only and not args.input:
         ap.error("--input is required unless --kg-only is set")
 
+    # plain `python jobs/build_kg.py` convenience; spark-submit ships the
+    # package via --py-files and this insert is a no-op there
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from deduce_spark.spark.session import get_spark
 
     spark = get_spark(master=args.master, app_name="build_kg")
