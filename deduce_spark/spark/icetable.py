@@ -321,8 +321,25 @@ class IceTable:
             dfs.append(reader.parquet(*sorted(dirs)))
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+            # snapshots written before a column was added lack it in their
+            # parquet leaves; missing columns read as null (schema
+            # evolution, Iceberg add-column semantics)
+            out = out.unionByName(d, allowMissingColumns=True)
+        # align to the table's CURRENT schema: back-fill added columns with
+        # nulls and normalize types (partition-dir values re-infer as int
+        # otherwise), matching how Iceberg reads old snapshots with the
+        # latest schema
+        import pyspark.sql.types as T
+        from pyspark.sql import functions as F
+
+        cur = T.StructType.fromJson(json.loads(self._metadata()["schema_json"]))
+        cols = []
+        for f in cur.fields:
+            if f.name in out.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return out.select(*cols)
 
     def upsert(
         self,

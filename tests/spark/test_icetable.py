@@ -199,3 +199,19 @@ def test_upsert_partition_scoped(spark, tmp_path):
     # time travel: the pre-upsert snapshot still shows the old value
     old = {r["k"]: r["val"] for r in t.read(spark, snapshot_id=snap0).collect()}
     assert old[1] == "old" and 9001 not in old
+
+
+def test_schema_evolution_add_column(spark, table):
+    table.write(_df(spark, [(0, "a", 1), (1, "b", 2)]), partition_by=("part_id",))
+    # later snapshot adds a column; earlier leaves lack it on disk
+    evolved = spark.createDataFrame(
+        [(2, "c", 3, "extra")], "part_id int, k string, v long, note string"
+    )
+    table.write(evolved, partition_by=("part_id",), mode="append")
+    got = {r.k: (r.v, r.note) for r in table.read(spark).collect()}
+    # old rows read under the CURRENT schema with nulls back-filled
+    assert got == {"a": (1, None), "b": (2, None), "c": (3, "extra")}
+    # time travel to the pre-evolution snapshot also uses the latest schema
+    old = table.read(spark, snapshot_id=1)
+    assert "note" in old.columns
+    assert {r.note for r in old.collect()} == {None}
