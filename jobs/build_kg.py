@@ -56,6 +56,7 @@ def run_job(
     engine=None,
     expire_keep: int = 0,
     kg_only: bool = False,
+    person_col: str | None = None,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.icetable import IceTable
@@ -116,6 +117,7 @@ def run_job(
         annotated = pipe.annotate_pages(
             subset, lang=lang, from_html=from_html,
             with_text=False, with_redacted=False,
+            person_col=person_col,
         )
         mentions = (
             pipe.mentions_long(annotated)
@@ -219,6 +221,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--from-text", action="store_true",
                     help="use the text column instead of extracting from html")
     ap.add_argument("--no-cooccurrence", action="store_true")
+    ap.add_argument("--person-col", default=None, metavar="COL",
+                    help="optional per-page known-person struct column "
+                         "(first_names array<string>, initials, surname) "
+                         "fed to the A8 annotator")
     ap.add_argument("--expire-keep", type=int, default=0, metavar="N",
                     help="after the run, keep only the last N snapshots per "
                          "output table and GC unreferenced data (0 = keep all)")
@@ -246,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
             with_cooccurrence=not args.no_cooccurrence,
             expire_keep=args.expire_keep,
             kg_only=args.kg_only,
+            person_col=args.person_col,
         )
     finally:
         spark.stop()

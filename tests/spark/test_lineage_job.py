@@ -119,3 +119,37 @@ def test_part_manifest_is_layout_independent(spark, pages_path, tmp_path):
          for r in lin.part_manifest(
              lin.with_part_id(spark.read.parquet(relaid), N_PARTS)).collect()}
     assert a == b
+
+
+def test_person_col_through_job(spark, engine, tmp_path):
+    # A8 through the production entry: per-page known person drives
+    # patient-tagged mentions end to end
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"https://d0/p{i}", ts,
+         b"", "betreft: Jan Jansen, de patient.", "nl",
+         (["Jan"], None, "Jansen") if i % 2 == 0 else None)
+        for i in range(8)
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, person struct<first_names:array<string>, "
+        "initials:string, surname:string>",
+    )
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+    out = tmp_path / "kg"
+    s = run_job(spark, str(src), str(out), n_parts=2, engine=engine,
+                from_html=False, person_col="person")
+    assert s["mentions_rows_written"] > 0
+    mentions = IceTable(out / "mentions").read(spark)
+    tags = {r["tag"] for r in mentions.select("tag").distinct().collect()}
+    assert "patient" in tags
+    # pages without the person struct cannot produce patient tags
+    n_patient_pages = (
+        mentions.filter(F.col("tag") == "patient").select("url").distinct().count()
+    )
+    assert n_patient_pages == 4
