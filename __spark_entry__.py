@@ -228,29 +228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale path is lsh_topk_embeddings).  All-native: zip_with/aggregate
         # dot products in double precision, no UDF.  tau=0.35 sits 2.9e-5
         # away from the nearest pair on this data — no float-boundary risk
-        # vs the DuckDB oracle.
-        dot = (
-            "aggregate(zip_with({l}, {r}, (x, y) -> x * y), "
-            "cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        e = (
-            _emb(spark, sf_dir)
-            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-            .withColumn("nrm", F.sqrt(F.expr(dot.format(l="v", r="v"))))
-        )
-        a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
-                     F.col("nrm").alias("na"))
-        b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
-                     F.col("nrm").alias("nb"))
-        return (
-            a.join(b, F.col("a_id") < F.col("b_id"))
-            .withColumn(
-                "cos",
-                F.expr(dot.format(l="va", r="vb")) / (F.col("na") * F.col("nb")),
-            )
-            .filter(F.col("cos") >= 0.35)
-            .select("a_id", "b_id")
-            .orderBy("a_id", "b_id")
+        # vs the DuckDB oracle.  The O(n²) join is GATED inside
+        # brute_cosine_pairs (raises above max_rows, pointing at lsh/ivf).
+        from deduce_spark.spark.similarity import brute_cosine_pairs
+
+        return brute_cosine_pairs(_emb(spark, sf_dir), tau=0.35).orderBy(
+            "a_id", "b_id"
         )
 
     q["embed_cosine_dedup"] = embed_cosine_dedup
@@ -620,13 +603,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic pivot would need an extra distinct pass)
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         types = ["click", "error", "purchase", "signup", "view"]
-        return (
+        pivoted = (
             ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
             .groupBy("user_bucket")
             .pivot("event_type", types)
             .agg(F.count(F.lit(1)))
-            .orderBy("user_bucket")
         )
+        # pivot yields NULL for empty (bucket, type) combos while the
+        # oracle's COUNT(*) FILTER yields 0 — coalesce for sparse-data parity
+        return pivoted.select(
+            "user_bucket",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+        ).orderBy("user_bucket")
 
     q["events_pivot"] = events_pivot
 
@@ -841,34 +829,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distance 1, computed by OUR kernel distance inside an Arrow pass;
         # DuckDB replays with damerau_levenshtein() <= 1.  (OSA and full DL
         # agree at threshold 1 — a single edit is the same op set in both.)
-        import pandas as pd
-
-        from deduce_spark.kernel.distance import within_edit_distance
+        # distance 1.  Scale path: deletion-variant (SymSpell) blocking —
+        # EXACT for DL<=1 — replaces the former O(n²) all-pairs join; the
+        # DuckDB oracle still replays all-pairs damerau_levenshtein() <= 1,
+        # proving the blocked candidates lose nothing.  (OSA and full DL
+        # agree at threshold 1.)
+        from deduce_spark.spark.relational import fuzzy_pairs_dl1
 
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
         names = d.select(
             "doc_id", F.expr(_NAME_TEXT_SQL).alias("name")
         )
-        pairs = (
-            names.select(F.col("doc_id").alias("a"), F.col("name").alias("na"))
-            .join(
-                names.select(F.col("doc_id").alias("b"), F.col("name").alias("nb")),
-                F.col("a") < F.col("b"),
-            )
-        )
-
-        def run(batches):
-            for batch in batches:
-                mask = [
-                    within_edit_distance(x, y, 1)
-                    for x, y in zip(batch["na"], batch["nb"])
-                ]
-                out = batch[pd.Series(mask, index=batch.index)]
-                yield out[["a", "b", "na", "nb"]]
-
-        return pairs.mapInPandas(
-            run, schema="a long, b long, na string, nb string"
-        ).orderBy("a", "b")
+        return fuzzy_pairs_dl1(names, "doc_id", "name").orderBy("a", "b")
 
     q["fuzzy_name_pairs"] = fuzzy_name_pairs
 
@@ -1054,7 +1026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_pairs_docs(spark, sf_dir):
         from deduce_spark.spark.dedup import simhash_near_dupes
 
-        return simhash_near_dupes(_docs(spark, sf_dir), max_hamming=10).orderBy("a", "b")
+        return (
+            simhash_near_dupes(_docs(spark, sf_dir), max_hamming=10)
+            .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("a", "b")
+        )
 
     q["simhash_pairs_docs"] = simhash_pairs_docs
 
@@ -1081,9 +1057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from deduce_spark.spark.textstats import winnowing_fingerprint
 
         out = winnowing_fingerprint(_docs(spark, sf_dir))
+        # xor-fold instead of F.hash: portable (replayable bit-exactly by
+        # the golden-fixture generator; hash values are < 2^61 so the fold
+        # never overflows a signed long)
         return out.select(
-            "doc_id", F.size("winnow").alias("n_grams"),
-            F.hash(F.col("winnow").cast("array<string>").cast("string")).alias("winnow_hash"),
+            "doc_id", F.size("winnow").cast("long").alias("n_grams"),
+            F.expr("aggregate(winnow, 0L, (acc, x) -> acc ^ x)").alias("winnow_xor"),
         ).orderBy("doc_id")
 
     q["winnow_fingerprints"] = winnow_fingerprints
@@ -1245,7 +1224,8 @@ def oracle_sql() -> dict[str, str]:
                                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                             THEN 1 ELSE 0 END AS new_session
                 FROM events)
-            SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM gaps GROUP BY user_id ORDER BY user_id
         """,
         "events_hourly": """
@@ -1508,6 +1488,36 @@ def oracle_sql() -> dict[str, str]:
             FROM grouped GROUP BY doc_id, grp
             ORDER BY doc_id, merged_start
         """,
+        # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
+        # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
+        # deduce_spark/golden.py from the same per-row kernels — pure
+        # pandas/python orchestration — and committed as parquet under
+        # data/golden/sf0.01/.  The oracle reads them via parquet_scan,
+        # so the driver's rows+schema+hash compare validates the
+        # distributed orchestration (partitioning, LSH joins, connected
+        # components, window ranks) against a single-threaded reference.
+        # Regenerate with: python -m deduce_spark.golden
+        **{
+            name: f"""
+            SELECT * FROM parquet_scan(
+                '/root/repo/data/golden/sf0.01/{name}.parquet')
+            ORDER BY {order}
+        """
+            for name, order in {
+                "kg_mentions_by_tag": "tag",
+                "kg_triples_by_pred": "pred",
+                "kg_link_scores": "type, link_evidence",
+                "kg_entity_degree": "degree",
+                "kg_top_cooccurrence": "n_pages DESC, subj_form, obj_form",
+                "kg_redact_sample": "url",
+                "minhash_dedup_docs": "doc_id",
+                "simhash_pairs_docs": "a, b",
+                "lsh_topk_embeddings": "query_id, rank",
+                "winnow_fingerprints": "doc_id",
+                "media_probe": "media_id",
+                "media_resize": "media_id",
+            }.items()
+        },
     }
 
 

@@ -67,6 +67,14 @@ _SIG_SCHEMA = T.StructType(
 )
 
 
+def minhash_sig(text: str, shingle_words: int = 3) -> list[int]:
+    """Per-document minhash signature (module-level so the golden-fixture
+    generator replays the EXACT kernel outside Spark)."""
+    sh = _word_shingles(text, shingle_words)
+    v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
+    return [int(x) for x in v.min(axis=1)]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_words: int = 3
 ) -> DataFrame:
@@ -74,9 +82,7 @@ def minhash_signatures(
         for batch in batches:
             ids, sigs = [], []
             for did, text in zip(batch[id_col], batch[text_col]):
-                sh = _word_shingles(text, shingle_words)
-                v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
-                sigs.append([int(x) for x in v.min(axis=1)])
+                sigs.append(minhash_sig(text, shingle_words))
                 ids.append(int(did))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
@@ -89,8 +95,16 @@ def minhash_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_words: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """(doc_id, canonical_id) for every doc in a near-dup cluster."""
+    """(doc_id, canonical_id) for every doc in a near-dup cluster.
+
+    Buckets larger than ``max_bucket`` are dropped whole before the
+    self-join (same cap strategy as ``kg.candidate_pairs``): one hot LSH
+    bucket — template boilerplate at web scale — otherwise emits B²/2 join
+    rows and stalls the stage.  Exact duplicates inside a dropped bucket are
+    still caught by ``exact_dedup``; the cap trades a sliver of near-dup
+    recall for a bounded join."""
     sigs = minhash_signatures(df, text_col, id_col, shingle_words).cache()
     rows_per_band = N_HASHES // N_BANDS
     banded = sigs.select(
@@ -106,6 +120,12 @@ def minhash_dedup(
                 ]
             )
         ).alias("band", "band_key"),
+    )
+    bucket_w = Window.partitionBy("band", "band_key")
+    banded = (
+        banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("bucket_size") <= max_bucket)
+        .drop("bucket_size")
     )
     pairs = (
         banded.alias("l")
@@ -159,38 +179,52 @@ def simhash_signatures(
     """64-bit simhash over word features (crc32-seeded, deterministic)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_cols = np.arange(64, dtype=np.uint64)
         for batch in batches:
             ids, hashes = [], []
             for did, text in zip(batch[id_col], batch[text_col]):
-                words = text.split()
-                if not words:
-                    ids.append(int(did))
-                    hashes.append(0)
-                    continue
-                h1 = np.array(
-                    [zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64
-                )
-                # widen to 64 bits with a second independent crc
-                h2 = np.array(
-                    [zlib.crc32(w.encode("utf-8")[::-1]) ^ 0x9E3779B9 for w in words],
-                    dtype=np.uint64,
-                )
-                h = (h1 << np.uint64(32)) | h2
-                bits = ((h[:, None] >> bit_cols) & np.uint64(1)).astype(np.int64)
-                v = (2 * bits - 1).sum(axis=0)
-                sim = int(((v > 0).astype(np.uint64) << bit_cols).sum(dtype=np.uint64))
                 ids.append(int(did))
-                hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+                hashes.append(simhash64(text))
             yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
 
 
+_BIT_COLS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """Per-document 64-bit simhash as a signed long (module-level for the
+    golden-fixture generator)."""
+    words = text.split()
+    if not words:
+        return 0
+    h1 = np.array(
+        [zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64
+    )
+    # widen to 64 bits with a second independent crc
+    h2 = np.array(
+        [zlib.crc32(w.encode("utf-8")[::-1]) ^ 0x9E3779B9 for w in words],
+        dtype=np.uint64,
+    )
+    h = (h1 << np.uint64(32)) | h2
+    bits = ((h[:, None] >> _BIT_COLS) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    sim = int(((v > 0).astype(np.uint64) << _BIT_COLS).sum(dtype=np.uint64))
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
 def simhash_near_dupes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
-    """(a, b, hamming) pairs with hamming(simhash) <= max_hamming."""
+    """(a, b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole bucketing by four 16-bit chunks; buckets above ``max_bucket``
+    are dropped whole before the self-join (see ``minhash_dedup``) so a hot
+    chunk value cannot go quadratic at scale."""
     sigs = simhash_signatures(df, text_col, id_col).cache()
     chunks = sigs.select(
         "doc_id",
@@ -203,6 +237,12 @@ def simhash_near_dupes(
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
+    )
+    bucket_w = Window.partitionBy("chunk_idx", "chunk_val")
+    chunks = (
+        chunks.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("bucket_size") <= max_bucket)
+        .drop("bucket_size")
     )
     cand = (
         chunks.alias("l")

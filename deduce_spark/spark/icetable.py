@@ -111,6 +111,33 @@ def _parse_partition_dir(rel: str) -> dict[str, str]:
     return out
 
 
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_unescape(v: str) -> str:
+    """Invert Hive/Spark partition-dir escaping ('%3A' -> ':').
+
+    Spark writes partition values through ExternalCatalogUtils.escapePathName
+    (percent-encodes ':', '=', '#', control chars, ...), so manifest values
+    parsed from directory names are escaped.  Comparisons against values
+    taken from a DataFrame must unescape first — a timestamp partition
+    '2024-01-01 00:00:00' lives on disk as '2024-01-01 00%3A00%3A00'."""
+    if "%" not in v:
+        return v
+    out, i = [], 0
+    while i < len(v):
+        if v[i] == "%" and i + 3 <= len(v):
+            try:
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(v[i])
+        i += 1
+    return "".join(out)
+
+
 class IceTable:
     """One table rooted at ``root``; all mutation goes through ``write``."""
 
@@ -368,15 +395,44 @@ class IceTable:
                               summary=dict(summary or {}, upsert=True))
         spec = tuple(self._metadata().get("partition_spec", []))
         key_list = list(keys)
+        # MERGE INTO never drops target columns: align df to the current
+        # table schema (null-backfill columns the source lacks) so a narrow
+        # source cannot silently narrow the table schema-wide.  Extra df
+        # columns are kept — that is add-column schema evolution, which
+        # write()/read() already handle.
+        import pyspark.sql.types as T
+
+        cur_schema = T.StructType.fromJson(
+            json.loads(self._metadata()["schema_json"])
+        )
+        for f in cur_schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         if spec:
-            touched = [
-                {k: str(r[k]) for k in spec}
-                for r in df.select(*spec).distinct().collect()
-            ]
-            touched_keys = {json.dumps(p, sort_keys=True) for p in touched}
+            touched_rows = df.select(*spec).distinct().collect()
+            for r in touched_rows:
+                for k in spec:
+                    if r[k] is None:
+                        raise ValueError(
+                            f"upsert: null partition value for '{k}' — null "
+                            "partitions land in __HIVE_DEFAULT_PARTITION__ "
+                            "and cannot be matched reliably; filter or "
+                            "backfill the partition column first"
+                        )
+            touched_keys = {
+                json.dumps({k: str(r[k]) for k in spec}, sort_keys=True)
+                for r in touched_rows
+            }
+            # manifest partition values are raw Hive-escaped dir segments;
+            # unescape before comparing to DataFrame-derived values, else a
+            # timestamp/special-char partition never matches and its
+            # survivors would be dropped by the partition overwrite
             current = self.read(
                 self._require_session(df),
-                partition_filter=lambda p: json.dumps(p, sort_keys=True)
+                partition_filter=lambda p: json.dumps(
+                    {k: _hive_unescape(v) for k, v in p.items()},
+                    sort_keys=True,
+                )
                 in touched_keys,
             )
         else:
@@ -384,7 +440,7 @@ class IceTable:
         survivors = current.join(
             df.select(*key_list).distinct(), on=key_list, how="left_anti"
         )
-        merged = survivors.select(*df.columns).unionByName(df)
+        merged = survivors.unionByName(df, allowMissingColumns=True)
         if spec:
             merged = merged.repartition(*spec)
         return self.write(

@@ -94,6 +94,15 @@ def _shingle_hashes(s: str) -> np.ndarray:
     )
 
 
+def surface_sig(s: str) -> list[int]:
+    """Per-surface minhash signature (module-level so the golden-fixture
+    generator replays the EXACT kernel outside Spark).
+    sig[k] = min((a_k * h + b_k) mod p) over char-3-shingle crc32 hashes."""
+    sh = _shingle_hashes(s)
+    v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
+    return [int(x) for x in v.min(axis=1)]
+
+
 def surface_signatures(surf: DataFrame) -> DataFrame:
     """(surface_id, type, surface) -> (surface_id, type, minhash sig)."""
 
@@ -101,10 +110,7 @@ def surface_signatures(surf: DataFrame) -> DataFrame:
         for batch in batches:
             ids, sigs = [], []
             for sid, s in zip(batch["surface_id"], batch["surface"]):
-                sh = _shingle_hashes(s)
-                # sig[k] = min((a_k * h + b_k) mod p)
-                v = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
-                sigs.append([int(x) for x in v.min(axis=1)])
+                sigs.append(surface_sig(s))
                 ids.append(int(sid))
             yield pd.DataFrame(
                 {"surface_id": ids, "type": batch["type"], "sig": sigs}
@@ -283,15 +289,26 @@ def connected_components(
 
     cur = edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
     sig = _signature(cur)
+    converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _signature(nxt)
         cur = nxt
         if nsig == sig:
+            converged = True
             break
         sig = nsig
-    # converged edge set is a union of stars (member -> component min);
-    # defensive min() in case max_iter cut the loop short
+    if not converged:
+        # an unconverged star set can label a node with a non-root
+        # intermediate (split components) — surface it instead of silently
+        # returning wrong clusters.  max_iter rounds cover component
+        # diameters ~2^max_iter; hitting this means pathological input.
+        raise RuntimeError(
+            f"connected_components: small-star/large-star did not converge "
+            f"within max_iter={max_iter} rounds ({sig[0]} edges remain "
+            "changing); raise max_iter for this input"
+        )
+    # converged edge set is a union of stars (member -> component min)
     labels = cur.groupBy(F.col("a").alias("surface_id")).agg(
         F.min("b").alias("component")
     )
@@ -527,32 +544,31 @@ def link_scores(nodes: DataFrame, link_dicts_bc) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dicts = link_dicts_bc.value
         for batch in batches:
-            scores, evidence = [], []
-            for ntype, form in zip(batch["type"], batch["canonical_form"]):
-                entry = dicts.get(ntype)
-                if entry is None:
-                    scores.append(1.0)
-                    evidence.append("structural")
-                    continue
-                phrases, vocab = entry
-                if form in phrases:
-                    scores.append(1.0)
-                    evidence.append("exact")
-                    continue
-                toks = [t for t in form.split(" ") if t]
-                hits = sum(t in vocab for t in toks)
-                if toks and hits == len(toks):
-                    scores.append(0.8)
-                    evidence.append("tokens")
-                elif hits:
-                    scores.append(round(0.5 * hits / len(toks), 4))
-                    evidence.append("partial")
-                else:
-                    scores.append(0.0)
-                    evidence.append("none")
+            scored = [
+                score_form(ntype, form, dicts)
+                for ntype, form in zip(batch["type"], batch["canonical_form"])
+            ]
             batch = batch.copy()
-            batch["link_score"] = scores
-            batch["link_evidence"] = evidence
+            batch["link_score"] = [s for s, _ in scored]
+            batch["link_evidence"] = [e for _, e in scored]
             yield batch
 
     return nodes.mapInPandas(run, schema=schema)
+
+
+def score_form(ntype: str, form: str, dicts: dict) -> tuple[float, str]:
+    """(link_score, link_evidence) for one canonical form — module-level so
+    the golden-fixture generator replays the EXACT scoring outside Spark."""
+    entry = dicts.get(ntype)
+    if entry is None:
+        return 1.0, "structural"
+    phrases, vocab = entry
+    if form in phrases:
+        return 1.0, "exact"
+    toks = [t for t in form.split(" ") if t]
+    hits = sum(t in vocab for t in toks)
+    if toks and hits == len(toks):
+        return 0.8, "tokens"
+    if hits:
+        return round(0.5 * hits / len(toks), 4), "partial"
+    return 0.0, "none"

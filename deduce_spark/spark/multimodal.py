@@ -49,24 +49,32 @@ _PROBE_SCHEMA = T.StructType(
 )
 
 
+def probe_one(blob: bytes) -> tuple[str, int, int]:
+    """(detected_type, n_bytes, crc32) for one blob — module-level so the
+    golden-fixture generator replays the EXACT kernel outside Spark."""
+    import zlib
+
+    b = bytes(blob)
+    detected = "application/octet-stream"
+    for magic, mt in _MAGIC:
+        if b.startswith(magic):
+            detected = mt
+            break
+    return detected, len(b), zlib.crc32(b)
+
+
 def probe_media(df: DataFrame) -> DataFrame:
     """Deterministic media probe: magic-byte type sniff + size + crc."""
-    import zlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, types_, sizes, sums = [], [], [], []
             for mid, blob in zip(batch["media_id"], batch["media"]):
-                b = bytes(blob)
-                detected = "application/octet-stream"
-                for magic, mt in _MAGIC:
-                    if b.startswith(magic):
-                        detected = mt
-                        break
+                detected, n, crc = probe_one(blob)
                 ids.append(int(mid))
                 types_.append(detected)
-                sizes.append(len(b))
-                sums.append(zlib.crc32(b))
+                sizes.append(n)
+                sums.append(crc)
             yield pd.DataFrame(
                 {"media_id": ids, "detected_type": types_, "n_bytes": sizes,
                  "checksum": sums}
@@ -188,23 +196,11 @@ def resize_images(
         for batch in batches:
             ids, blobs, ws, hs = [], [], [], []
             for mid, blob in zip(batch["media_id"], batch["media"]):
-                b = np.frombuffer(bytes(blob), dtype=np.uint8)
-                side = max(1, int(len(b) ** 0.5))
-                raster = b[: side * side].reshape(side, side)
-                if side > max_side:
-                    # box filter: average over ceil(side/max_side) blocks
-                    f = -(-side // max_side)
-                    pad = (-side) % f
-                    if pad:
-                        raster = np.pad(raster, ((0, pad), (0, pad)), mode="edge")
-                    s = raster.shape[0] // f
-                    raster = (
-                        raster.reshape(s, f, s, f).mean(axis=(1, 3)).astype(np.uint8)
-                    )
+                out, w, h = resize_one(blob, max_side)
                 ids.append(int(mid))
-                blobs.append(raster.tobytes())
-                ws.append(int(raster.shape[1]))
-                hs.append(int(raster.shape[0]))
+                blobs.append(out)
+                ws.append(w)
+                hs.append(h)
             yield pd.DataFrame(
                 {"media_id": ids, "media": blobs, "width": ws, "height": hs}
             )
@@ -212,13 +208,41 @@ def resize_images(
     return df.select("media_id", "media").mapInPandas(run, schema=_RESIZE_SCHEMA)
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks (doc_id-keyed
-    blobs with recognizable magic bytes)."""
+def resize_one(blob: bytes, max_side: int = 32) -> tuple[bytes, int, int]:
+    """(resized_bytes, width, height) for one blob — module-level so the
+    golden-fixture generator replays the EXACT kernel outside Spark.
+
+    Box filter uses INTEGER sums + floor division (not float mean ->
+    uint8 cast): bit-identical on every platform/BLAS, which the
+    golden-CRC oracle depends on."""
+    b = np.frombuffer(bytes(blob), dtype=np.uint8)
+    side = max(1, int(len(b) ** 0.5))
+    raster = b[: side * side].reshape(side, side)
+    if side > max_side:
+        # box filter: average over ceil(side/max_side) blocks
+        f = -(-side // max_side)
+        pad = (-side) % f
+        if pad:
+            raster = np.pad(raster, ((0, pad), (0, pad)), mode="edge")
+        s = raster.shape[0] // f
+        sums = raster.reshape(s, f, s, f).astype(np.uint32).sum(axis=(1, 3))
+        raster = (sums // (f * f)).astype(np.uint8)
+    return raster.tobytes(), int(raster.shape[1]), int(raster.shape[0])
+
+
+def synthetic_media_rows(n: int = 64) -> list[tuple[int, bytes, str]]:
+    """Deterministic fake media rows (shared by the Spark table and the
+    golden-fixture generator)."""
     rows = []
     magics = [b"\x89PNG\r\n", b"\xff\xd8\xff\xe0", b"RIFF....WAVE", b"\x00\x00\x00 ftypmp42"]
     types_ = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
     for i in range(n):
         body = bytes((i * 7 + j) % 256 for j in range(512 + (i % 5) * 128))
         rows.append((i, magics[i % 4] + body, types_[i % 4]))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks (doc_id-keyed
+    blobs with recognizable magic bytes)."""
+    return spark.createDataFrame(synthetic_media_rows(n), schema=MEDIA_SCHEMA)

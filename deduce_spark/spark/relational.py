@@ -101,3 +101,66 @@ def asof_join(
     if value_col is None:
         out = out.drop("asof_value")
     return out
+
+
+def fuzzy_pairs_dl1(
+    names: DataFrame, id_col: str = "doc_id", name_col: str = "name"
+) -> DataFrame:
+    """All (a, b, na, nb) id pairs whose names are within Damerau-Levenshtein
+    distance 1, via deletion-variant blocking (the SymSpell scheme).
+
+    Blocking is EXACT for DL<=1: two strings one edit apart — insert,
+    delete, substitute, or adjacent transposition — always share a member of
+    variants(s) = {s} ∪ {s with one char deleted}.  (For a transposition
+    ..ab.. / ..ba.., deleting the 'a' from one and the other yields the same
+    string; for a substitution, deleting the differing char from both does.)
+    Candidates come from a hash join on the variant — O(n · avg_len) rows
+    instead of the O(n²) all-pairs join — and are verified exactly by the
+    kernel's banded OSA distance in one Arrow pass.  A variant shared by
+    many names means a genuine near-dup cluster, whose pair output is
+    irreducibly quadratic in the cluster size; there is no artificial hot
+    bucket to cap.  Matches rapidfuzz DamerauLevenshtein score_cutoff=1
+    semantics pinned at reference tests/unit/test_utils.py:17-29.
+    """
+    import pandas as pd
+
+    from deduce_spark.kernel.distance import within_edit_distance
+
+    variants = F.when(
+        F.length(name_col) > 0,
+        F.array_union(
+            F.array(F.col(name_col)),
+            F.expr(
+                f"transform(sequence(1, length({name_col})), "
+                f"i -> concat(substring({name_col}, 1, i - 1), "
+                f"substring({name_col}, i + 1)))"
+            ),
+        ),
+    ).otherwise(F.array(F.col(name_col)))
+    exploded = names.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("nm"),
+        F.explode(variants).alias("variant"),
+    )
+    cand = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            (F.col("l.variant") == F.col("r.variant"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            F.col("l.nm").alias("na"), F.col("r.nm").alias("nb"),
+        )
+        .distinct()
+    )
+
+    def run(batches):
+        for batch in batches:
+            mask = [
+                within_edit_distance(x, y, 1)
+                for x, y in zip(batch["na"], batch["nb"])
+            ]
+            yield batch[pd.Series(mask, index=batch.index)]
+
+    return cand.mapInPandas(run, schema="a long, b long, na string, nb string")

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 N_PLANES = 16
-_HP_RNG = np.random.RandomState(1234)
 
 
 def _dot(a, b):
@@ -69,6 +68,45 @@ def cosine_topk(
     )
 
 
+def brute_cosine_pairs(
+    vectors: DataFrame,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 50_000,
+) -> DataFrame:
+    """All (a_id, b_id) pairs with cosine >= tau — the exact O(n²) baseline.
+
+    Explicitly GATED: the triangular self-join materializes n²/2 rows, so
+    above ``max_rows`` inputs this raises instead of launching a job that
+    cannot finish at scale.  The scale paths are ``lsh_topk`` (bucketed) and
+    ``ivf_topk`` (centroid-partitioned); use them beyond the gate.
+    All-native zip_with/aggregate dot products in double precision, no UDF."""
+    n = vectors.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute_cosine_pairs is O(n²) and gated at {max_rows} rows "
+            f"(got {n}); use lsh_topk or ivf_topk for large inputs"
+        )
+    e = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= tau)
+        .select("a_id", "b_id")
+    )
+
+
 _BUCKET_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
@@ -86,7 +124,14 @@ def hyperplane_buckets(
     table per vector.  Recall for neighbors at angle θ is
     1-(1-p^b)^L with p = 1-θ/π, b = n_planes, L = n_tables — tune b up for
     precision (smaller buckets), L up for recall."""
-    planes = _HP_RNG.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+    # fresh RandomState per call: consuming a module-level RNG would make a
+    # second call in the same process derive DIFFERENT planes (state
+    # advanced) — results must be idempotent per (dim, n_planes, n_tables)
+    planes = (
+        np.random.RandomState(1234)
+        .standard_normal((n_tables, n_planes, dim))
+        .astype(np.float32)
+    )
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -284,10 +329,24 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Approximate all-pairs top-k: exact cosine rerank over the union of
-    same-bucket candidates from every LSH table."""
+    same-bucket candidates from every LSH table.
+
+    Buckets above ``max_bucket`` are dropped whole before the self-join
+    (same cap as ``kg.candidate_pairs`` / ``dedup.minhash_dedup``): a
+    degenerate bucket — e.g. the all-zero region of a skewed embedding
+    distribution — would otherwise emit B² candidate rows.  Vectors in a
+    dropped bucket usually still meet in another of the ``n_tables``
+    independent tables, so recall degrades gracefully."""
     buckets = hyperplane_buckets(vectors, id_col, vec_col, dim, n_planes, n_tables)
+    bucket_w = Window.partitionBy("table_idx", "bucket")
+    buckets = (
+        buckets.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("bucket_size") <= max_bucket)
+        .drop("bucket_size")
+    )
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(

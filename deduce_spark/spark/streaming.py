@@ -163,15 +163,21 @@ def sessionize_events_stateful(events_stream: DataFrame) -> DataFrame:
         else:
             session_id, n_events, first_ts, last_ts = -1, 0, 0, 0
         touched = {}
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts"]):
-                epoch = int(ts.timestamp())
-                if session_id < 0 or epoch - last_ts > SESSION_GAP_S:
-                    session_id += 1 if session_id >= 0 else 2  # -1 -> 1, else +1
-                    n_events, first_ts = 0, epoch
-                n_events += 1
-                last_ts = epoch
-                touched[session_id] = (n_events, first_ts, last_ts)
+        # applyInPandasWithState may split a large group across Arrow
+        # chunks with no ordering guarantee — concatenate first, sort once;
+        # per-chunk sorting would interleave sessions out of time order
+        chunks = [pdf["ts"] for pdf in pdfs]
+        all_ts = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.Series([])
+        )
+        for ts in sorted(all_ts):
+            epoch = int(ts.timestamp())
+            if session_id < 0 or epoch - last_ts > SESSION_GAP_S:
+                session_id += 1 if session_id >= 0 else 2  # -1 -> 1, else +1
+                n_events, first_ts = 0, epoch
+            n_events += 1
+            last_ts = epoch
+            touched[session_id] = (n_events, first_ts, last_ts)
         state.update((session_id, n_events, first_ts, last_ts))
         if not touched:
             return iter([])

@@ -119,45 +119,47 @@ def winnowing_fingerprint(
     """Winnowing document fingerprint (Schleimer et al. 2003): rolling
     polynomial hash of k-grams, min-sampled per window.  Loops are
     per-document -> Arrow-batched numpy UDF."""
-    import numpy as np
-
-    base = np.uint64(1000003)
-    mod_mask = np.uint64((1 << 61) - 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, prints = [], []
             for did, text in zip(batch["doc_id"], batch[text_col]):
-                data = np.frombuffer(
-                    text.lower().encode("utf-8", "replace"), dtype=np.uint8
-                ).astype(np.uint64)
-                if len(data) < k:
-                    ids.append(int(did))
-                    prints.append([int(data.sum())] if len(data) else [])
-                    continue
-                # rolling hash over k-grams
-                n = len(data) - k + 1
-                h = np.zeros(n, dtype=np.uint64)
-                acc = np.uint64(0)
-                for j in range(k):
-                    acc = (acc * base + data[j]) & mod_mask
-                h[0] = acc
-                top = base
-                for j in range(1, k):
-                    top = (top * base) & mod_mask
-                for i in range(1, n):
-                    acc = (acc * base + data[i + k - 1] - (data[i - 1] * top)) & mod_mask
-                    h[i] = acc
-                # min per sliding window, dedup consecutive picks
-                if n <= window:
-                    sel = [int(h.min())]
-                else:
-                    idx = np.array(
-                        [i + int(h[i : i + window].argmin()) for i in range(n - window + 1)]
-                    )
-                    sel = [int(h[i]) for i in sorted(set(idx.tolist()))]
                 ids.append(int(did))
-                prints.append(sel)
+                prints.append(winnow_doc(text, k, window))
             yield pd.DataFrame({"doc_id": ids, "winnow": prints})
 
     return df.select("doc_id", text_col).mapInPandas(run, schema=_WINNOW_SCHEMA)
+
+
+def winnow_doc(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing fingerprint of one document (module-level so the
+    golden-fixture generator replays the EXACT kernel outside Spark)."""
+    import numpy as np
+
+    base = np.uint64(1000003)
+    mod_mask = np.uint64((1 << 61) - 1)
+    data = np.frombuffer(
+        text.lower().encode("utf-8", "replace"), dtype=np.uint8
+    ).astype(np.uint64)
+    if len(data) < k:
+        return [int(data.sum())] if len(data) else []
+    # rolling hash over k-grams
+    n = len(data) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    acc = np.uint64(0)
+    for j in range(k):
+        acc = (acc * base + data[j]) & mod_mask
+    h[0] = acc
+    top = base
+    for j in range(1, k):
+        top = (top * base) & mod_mask
+    for i in range(1, n):
+        acc = (acc * base + data[i + k - 1] - (data[i - 1] * top)) & mod_mask
+        h[i] = acc
+    # min per sliding window, dedup consecutive picks
+    if n <= window:
+        return [int(h.min())]
+    idx = np.array(
+        [i + int(h[i : i + window].argmin()) for i in range(n - window + 1)]
+    )
+    return [int(h[i]) for i in sorted(set(idx.tolist()))]
