@@ -1513,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
                 "minhash_dedup_docs": "doc_id",
                 "simhash_pairs_docs": "a, b",
                 "lsh_topk_embeddings": "query_id, rank",
+                "ivf_topk_embeddings": "query_id, rank",
                 "winnow_fingerprints": "doc_id",
                 "media_probe": "media_id",
                 "media_resize": "media_id",

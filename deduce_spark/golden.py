@@ -405,6 +405,84 @@ def golden_lsh_topk(emb: pd.DataFrame, k: int = 3) -> pd.DataFrame:
               "cosine": "float64"})
 
 
+def golden_ivf(
+    emb: pd.DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    n_queries: int = 10,
+) -> pd.DataFrame:
+    """Replica of similarity.ivf_topk(vecs, vecs.filter(id<10), k=3).
+
+    Exactness rests on the quantized-integer design in similarity.py:
+    assignment/probe scores and Lloyd sums are int64 (associative), so the
+    sequential replay here matches the distributed run bit-for-bit; the
+    only float steps (normalization, final cosine, np.linalg.norm) use the
+    same elementwise / sequential-fold order as the Spark expressions."""
+    from deduce_spark.spark.similarity import IVF_QUANT, ivf_quant_scores
+
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    raw32 = np.vstack(
+        [np.asarray(v, dtype=np.float32) for v in emb["embedding"]]
+    )
+    raw64 = raw32.astype(np.float64)
+
+    # -- train (ivf_train) --------------------------------------------------
+    init_idx = np.argsort(ids, kind="stable")[:n_centroids]
+    cents = raw64[init_idx].copy()
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # per-vector norm: Spark's aggregate fold = sequential sum of squares
+    nrm = np.sqrt(np.cumsum(raw64 * raw64, axis=1)[:, -1])
+    vn = raw64 / nrm[:, None]
+    for _ in range(n_iters):
+        cid = ivf_quant_scores(vn, cents).argmax(axis=1)
+        new = cents.copy()
+        for c in range(n_centroids):
+            members = vn[cid == c]
+            if not len(members):
+                continue
+            acc = np.floor(members * IVF_QUANT).astype(np.int64).sum(axis=0)
+            vec = acc.astype(np.float64)
+            n2 = np.linalg.norm(vec)
+            if n2 > 0:
+                new[c] = vec / n2
+        cents = new
+
+    # -- index + probe + exact rerank (ivf_topk) ----------------------------
+    assigned = ivf_quant_scores(raw64, cents).argmax(axis=1)
+    members_of: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(assigned):
+        members_of[int(c)].append(i)
+    q_mask = ids < n_queries
+    q_idx = np.nonzero(q_mask)[0]
+    probes = np.argsort(
+        -ivf_quant_scores(raw64[q_idx], cents), axis=1, kind="stable"
+    )[:, :n_probe]
+
+    def norm32(i: int) -> float:
+        return float(np.sqrt(_dot32_seq(raw32[i], raw32[i])))
+
+    rows = []
+    for qi, plist in zip(q_idx, probes):
+        qid = int(ids[qi])
+        cand = {
+            m for c in plist for m in members_of.get(int(c), ())
+        } - {qi}
+        scored = []
+        for m in cand:
+            cos = _dot32_seq(raw32[qi], raw32[m]) / (norm32(qi) * norm32(m))
+            scored.append((cos, int(ids[m])))
+        scored.sort(key=lambda cn: (-cn[0], cn[1]))
+        for rank, (cos, nid) in enumerate(scored[:k], start=1):
+            rows.append((qid, nid, rank, _round_spark(cos, 6)))
+    rows.sort()
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "rank", "cosine"]
+    ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64",
+              "cosine": "float64"})
+
+
 def golden_winnow(docs: pd.DataFrame) -> pd.DataFrame:
     from deduce_spark.spark.textstats import winnow_doc
 
@@ -464,6 +542,7 @@ def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> Path:
     outputs["minhash_dedup_docs"] = golden_minhash(docs)
     outputs["simhash_pairs_docs"] = golden_simhash(docs)
     outputs["lsh_topk_embeddings"] = golden_lsh_topk(emb)
+    outputs["ivf_topk_embeddings"] = golden_ivf(emb)
     outputs["winnow_fingerprints"] = golden_winnow(docs)
     outputs.update(golden_media())
 

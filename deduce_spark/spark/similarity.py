@@ -164,6 +164,26 @@ _ASSIGN_SCHEMA = T.StructType(
 )
 
 
+IVF_QUANT = float(1 << 40)
+
+
+def ivf_quant_scores(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Integer-quantized dot-product scores (n, n_centroids).
+
+    floor(x * 2^40) per element, then int64 matmul: EXACT arithmetic, so
+    argmax/argsort over the scores is bit-identical no matter how rows are
+    batched across Arrow chunks or replayed sequentially by the
+    golden-fixture generator — float BLAS reductions are not (blocking
+    varies with matrix shape).  Magnitudes: |x| <= 1 after normalization,
+    so a 64-dim score is <= 64 * 2^80 … too big for naive products, hence
+    BOTH sides are quantized at 2^20 each (product 2^40, 64-dim sum
+    < 2^47 — comfortably inside int64)."""
+    q = np.int64(1 << 20)
+    qm = np.floor(mat * q).astype(np.int64)
+    qc = np.floor(cents * q).astype(np.int64)
+    return qm @ qc.T
+
+
 def ivf_train(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -178,7 +198,14 @@ def ivf_train(
     an Arrow pass with broadcast centroids; the update aggregates per
     (centroid, dimension) natively — only n_centroids x dim rows ever reach
     the driver.  At corpus scale this trains on a fixed-size sample the
-    same way (the quantizer needs thousands of points, not 10^12)."""
+    same way (the quantizer needs thousands of points, not 10^12).
+
+    Both the assignment scores and the centroid sums run in QUANTIZED
+    INTEGER space (``ivf_quant_scores``, floor(v * 2^40) sums): integer
+    addition is associative, so the result is independent of partitioning,
+    shuffle order, and Arrow batch boundaries — float sums are not, and a
+    last-ULP difference can flip an argmax and cascade into different
+    clusters.  This is what makes the whole pipeline value-oracle-able."""
     spark = vectors.sparkSession
     dim = len(
         vectors.select(vec_col).first()[0]
@@ -205,23 +232,30 @@ def ivf_train(
     )
     for _ in range(n_iters):
         assigned = _ivf_assign(vnorm, spark.sparkContext.broadcast(cents), "v")
+        # quantized-integer dimension sums: long addition is associative, so
+        # the collected totals are exact and partition-order independent
         sums = (
             vnorm.join(assigned, "vec_id")
             .select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.lit(IVF_QUANT)).cast("long")
+                ).alias("s")
+            )
             .collect()
         )
         new = cents.copy()
-        acc = np.zeros((n_centroids, dim))
+        acc = np.zeros((n_centroids, dim), dtype=np.int64)
         seen = set()
         for r in sums:
             acc[r["cid"], r["pos"]] = r["s"]
             seen.add(r["cid"])
         for c in seen:
-            nrm = np.linalg.norm(acc[c])
+            vec = acc[c].astype(np.float64)
+            nrm = np.linalg.norm(vec)
             if nrm > 0:
-                new[c] = acc[c] / nrm
+                new[c] = vec / nrm
         cents = new
     vnorm.unpersist()
     return cents
@@ -234,7 +268,7 @@ def _ivf_assign(vectors: DataFrame, cents_bc, vec_col: str) -> DataFrame:
             mat = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
             )
-            cid = (mat @ cents.T).argmax(axis=1).astype(np.int32)
+            cid = ivf_quant_scores(mat, cents).argmax(axis=1).astype(np.int32)
             yield pd.DataFrame(
                 {"vec_id": batch["vec_id"].astype("int64"), "cid": cid}
             )
@@ -284,7 +318,10 @@ def ivf_topk(
             mat = np.vstack(
                 [np.asarray(x, dtype=np.float64) for x in batch["qvec"]]
             )
-            top = np.argsort(-(mat @ c.T), axis=1)[:, :n_probe]
+            # quantized scores + stable sort: tie order batch-independent
+            top = np.argsort(
+                -ivf_quant_scores(mat, c), axis=1, kind="stable"
+            )[:, :n_probe]
             n = len(batch)
             yield pd.DataFrame(
                 {

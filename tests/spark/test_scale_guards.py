@@ -1,0 +1,262 @@
+"""Scale-guard tests: hot-bucket caps, O(n²) gates, deletion-variant
+blocking, deterministic IVF/media kernels, icetable upsert edge cases,
+connected-components convergence surfacing."""
+
+import json
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduce_spark.spark import dedup, multimodal, relational, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket caps (one boilerplate bucket must not go quadratic)
+# ---------------------------------------------------------------------------
+
+
+class TestBucketCaps:
+    def test_minhash_hot_bucket_dropped(self, spark):
+        # 500 identical docs -> every LSH band bucket has 500 members,
+        # above max_bucket -> dropped whole -> no pair explosion, clusters
+        # stay singleton (exact_dedup is the path that still catches them)
+        hot = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.lit("aaa bbb ccc ddd eee fff ggg hhh").alias("text"),
+        )
+        out = dedup.minhash_dedup(hot, threshold=0.5, max_bucket=256)
+        rows = out.collect()
+        assert len(rows) == 500
+        assert all(r["doc_id"] == r["canonical_id"] for r in rows)
+        # same corpus with the cap above the bucket size -> one cluster,
+        # proving the filter (not a recall bug) is what kept them apart
+        out2 = dedup.minhash_dedup(hot, threshold=0.5, max_bucket=512)
+        assert {r["canonical_id"] for r in out2.collect()} == {0}
+
+    def test_simhash_hot_bucket_dropped(self, spark):
+        hot = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.lit("same text everywhere for all docs").alias("text"),
+        )
+        capped = dedup.simhash_near_dupes(hot, max_hamming=3, max_bucket=16)
+        assert capped.count() == 0
+        uncapped = dedup.simhash_near_dupes(hot, max_hamming=3, max_bucket=64)
+        assert uncapped.count() == 40 * 39 // 2
+
+    def test_lsh_topk_hot_bucket_dropped(self, spark):
+        # all-identical vectors land in one bucket per table; capping below
+        # the bucket size leaves no candidates
+        vecs = spark.range(32).select(
+            F.col("id").alias("vec_id"),
+            F.array([F.lit(float(j + 1)) for j in range(8)])
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        capped = similarity.lsh_topk(
+            vecs, k=3, dim=8, n_planes=4, n_tables=2, max_bucket=8
+        )
+        assert capped.count() == 0
+
+
+class TestQuadraticGates:
+    def test_brute_cosine_pairs_gated(self, spark):
+        vecs = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.array([(F.col("id") + j + 1).cast("float") for j in range(4)])
+            .alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="gated at 10 rows"):
+            similarity.brute_cosine_pairs(vecs, max_rows=10)
+        # under the gate it runs (cosine of near-parallel vectors ~ 1)
+        small = vecs.filter(F.col("vec_id") < 5)
+        assert similarity.brute_cosine_pairs(small, tau=0.9).count() == 10
+
+
+class TestDeletionVariantBlocking:
+    def test_dl1_blocking_matches_all_pairs(self, spark):
+        # ground truth by brute force over a name set with inserts,
+        # deletes, substitutions, transpositions, and far-apart strings
+        names = [
+            "maria", "mara", "marla", "mariia", "amria", "meria",
+            "jan", "jen", "jjan", "an", "najn",
+            "willem", "wilem", "willme", "xyzzy", "quux",
+        ]
+        from deduce_spark.kernel.distance import within_edit_distance
+
+        truth = {
+            (a, b)
+            for a in range(len(names))
+            for b in range(a + 1, len(names))
+            if within_edit_distance(names[a], names[b], 1)
+        }
+        df = spark.createDataFrame(
+            list(enumerate(names)), "doc_id long, name string"
+        )
+        got = {
+            (r["a"], r["b"])
+            for r in relational.fuzzy_pairs_dl1(df).collect()
+        }
+        assert got == truth
+        assert truth  # non-vacuous
+
+    def test_dl1_empty_and_single_char(self, spark):
+        df = spark.createDataFrame(
+            [(0, ""), (1, "a"), (2, "b"), (3, "ab")],
+            "doc_id long, name string",
+        )
+        got = {
+            (r["a"], r["b"])
+            for r in relational.fuzzy_pairs_dl1(df).collect()
+        }
+        # "" <-> 1-char are distance 1; "a" <-> "b" substitution;
+        # "a"/"b" <-> "ab" insert
+        assert got == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# deterministic kernels (golden-fixture prerequisites)
+# ---------------------------------------------------------------------------
+
+
+class TestDeterministicKernels:
+    def test_resize_crc_literals(self):
+        # pinned CRCs: integer box filter must be platform-stable
+        rows = multimodal.synthetic_media_rows(4)
+        got = [
+            (mid, zlib.crc32(multimodal.resize_one(blob, max_side=8)[0]))
+            for mid, blob, _t in rows
+        ]
+        assert got == [
+            (0, 2663173945),
+            (1, 1087231761),
+            (2, 3204034353),
+            (3, 403761433),
+        ]
+
+    def test_ivf_partitioning_invariant(self, spark):
+        # quantized-integer scores + sums: result must be identical under
+        # different partitionings (float sums would drift in last ULP)
+        vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = vecs.filter(F.col("vec_id") < 5)
+        a = sorted(
+            map(tuple, similarity.ivf_topk(vecs.repartition(1), queries, k=3).collect())
+        )
+        b = sorted(
+            map(tuple, similarity.ivf_topk(vecs.repartition(13), queries, k=3).collect())
+        )
+        assert a == b and len(a) == 15
+
+    def test_xxh64_matches_spark(self, spark):
+        from deduce_spark.kernel.xxh64 import spark_xxhash64
+
+        samples = ["", "a", "hello world", "De patiënt J. Jansen", "x" * 100]
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        expect = {
+            r["s"]: r["h"]
+            for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+        }
+        for s in samples:
+            assert spark_xxhash64(s) == expect[s]
+        # the two-arg form used for surface ids
+        two = df.select(
+            "s", F.xxhash64("s", F.lit("PERSOON")).alias("h")
+        ).collect()
+        for r in two:
+            assert spark_xxhash64(r["s"], "PERSOON") == r["h"]
+
+
+# ---------------------------------------------------------------------------
+# icetable upsert edge cases
+# ---------------------------------------------------------------------------
+
+
+class TestUpsertEdgeCases:
+    def test_upsert_escaped_partition_values(self, spark, tmp_path):
+        from deduce_spark.spark.icetable import IceTable
+
+        # ':' in partition values is Hive-escaped on disk (%3A); survivors
+        # in the touched partition must still be read back
+        t = IceTable(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1, "old"),
+             ("2024-01-01 00:00:00", 2, "old"),
+             ("2024-01-02 00:00:00", 3, "old")],
+            "ts_part string, k long, val string",
+        )
+        t.write(base.repartition("ts_part"), partition_by=("ts_part",),
+                mode="overwrite")
+        up = spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1, "new")],
+            "ts_part string, k long, val string",
+        )
+        t.upsert(up, keys=["k"])
+        cur = {r["k"]: r["val"] for r in t.read(spark).collect()}
+        # k=2 is the survivor that a naive escaped-vs-raw compare deletes
+        assert cur == {1: "new", 2: "old", 3: "old"}
+
+    def test_upsert_null_partition_raises(self, spark, tmp_path):
+        from deduce_spark.spark.icetable import IceTable
+
+        t = IceTable(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("a", 1, "old")], "p string, k long, val string"
+        )
+        t.write(base, partition_by=("p",), mode="overwrite")
+        up = spark.createDataFrame(
+            [(None, 1, "new")], "p string, k long, val string"
+        )
+        with pytest.raises(ValueError, match="null partition value"):
+            t.upsert(up, keys=["k"])
+
+    def test_upsert_narrow_source_keeps_schema(self, spark, tmp_path):
+        from deduce_spark.spark.icetable import IceTable
+
+        t = IceTable(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("a", 1, "old", 10.0), ("a", 2, "old", 20.0)],
+            "p string, k long, val string, score double",
+        )
+        t.write(base, partition_by=("p",), mode="overwrite")
+        # source lacks 'score' -> must be null-backfilled, not dropped
+        up = spark.createDataFrame(
+            [("a", 1, "new")], "p string, k long, val string"
+        )
+        t.upsert(up, keys=["k"])
+        out = t.read(spark)
+        assert "score" in out.columns
+        rows = {r["k"]: (r["val"], r["score"]) for r in out.collect()}
+        assert rows[2] == ("old", 20.0)  # untouched row keeps its value
+        assert rows[1] == ("new", None)  # upserted row null-backfilled
+
+    def test_hive_unescape(self):
+        from deduce_spark.spark.icetable import _hive_unescape
+
+        assert _hive_unescape("2024-01-01 00%3A00%3A00") == "2024-01-01 00:00:00"
+        assert _hive_unescape("plain") == "plain"
+        assert _hive_unescape("a%2Fb%25c") == "a/b%c"
+        assert _hive_unescape("trailing%3") == "trailing%3"  # malformed kept
+
+
+class TestConnectedComponentsConvergence:
+    def test_unconverged_raises(self, spark):
+        from deduce_spark.spark.kg import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "a long, b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            # local_threshold=0 forces the distributed small-star/large-star
+            # path (the driver union-find below it is single-pass exact)
+            connected_components(edges, max_iter=1, local_threshold=0)
+
+    def test_path_graph_converges_by_default(self, spark):
+        from deduce_spark.spark.kg import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "a long, b long"
+        )
+        labels = connected_components(edges, local_threshold=0)
+        assert {r["component"] for r in labels.collect()} == {0}
