@@ -36,9 +36,9 @@ from pyspark.sql import functions as F
 
 
 def _read_pages(spark: SparkSession, path: str):
-    from deduce_spark.spark.icetable import IceTable
+    from deduce_spark.spark.iceberg_catalog import open_table
 
-    t = IceTable(path)
+    t = open_table(spark, str(path))
     if t.exists():
         return t.read(spark)
     return spark.read.parquet(path)
@@ -59,7 +59,7 @@ def run_job(
     person_col: str | None = None,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
-    from deduce_spark.spark.icetable import IceTable
+    from deduce_spark.spark.iceberg_catalog import open_table
     from deduce_spark.spark.stages import AnnotatePipeline
 
     if engine is None:
@@ -70,7 +70,7 @@ def run_job(
     log = lin.LineageLog(out / "_lineage")
     run_id = uuid.uuid4().hex[:12]
     seq = log.next_seq()
-    mentions_table = IceTable(out / "mentions")
+    mentions_table = open_table(spark, str(out / "mentions"))
 
     # -- plan ---------------------------------------------------------------
     if kg_only:
@@ -162,7 +162,7 @@ def _stage_b(
     with_cooccurrence, expire_keep, summary,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
-    from deduce_spark.spark.icetable import IceTable
+    from deduce_spark.spark.iceberg_catalog import open_table
     from deduce_spark.spark.kg import (
         build_link_dicts, canonicalize, link_scores, salted_repartition, triples,
     )
@@ -174,10 +174,10 @@ def _stage_b(
     nodes = link_scores(nodes, link_bc)
     edges = triples(mentions_all, surface_map, with_cooccurrence=with_cooccurrence)
     edges = salted_repartition(edges, spark.sparkContext.defaultParallelism)
-    nodes_man = IceTable(out / "nodes").write(
+    nodes_man = open_table(spark, str(out / "nodes")).write(
         nodes, mode="overwrite", summary={"run_id": run_id, "stage": "kg"}
     )
-    edges_man = IceTable(out / "edges").write(
+    edges_man = open_table(spark, str(out / "edges")).write(
         edges, partition_by=("pred",), mode="overwrite",
         summary={"run_id": run_id, "stage": "kg"},
     )
@@ -202,7 +202,7 @@ def _stage_b(
     if expire_keep:
         freed = 0
         for t in ("mentions", "nodes", "edges"):
-            freed += IceTable(out / t).expire_snapshots(expire_keep)["freed_bytes"]
+            freed += open_table(spark, str(out / t)).expire_snapshots(expire_keep)["freed_bytes"]
         summary["expired_freed_bytes"] = freed
     return summary
 

@@ -35,13 +35,13 @@ def run_maintenance(
     expire_keep: int = 0,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
-    from deduce_spark.spark.icetable import IceTable
+    from deduce_spark.spark.iceberg_catalog import open_table
 
     out = Path(root)
     log = lin.LineageLog(out / "_lineage")
     report: dict = {}
     for name in tables:
-        t = IceTable(out / name)
+        t = open_table(spark, str(out / name))
         if not t.exists():
             report[name] = {"skipped": "missing"}
             continue
