@@ -308,6 +308,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = doc_fingerprint
 
+    def para_dedup_docs(spark, sf_dir):
+        # ccnet-style paragraph dedup accounting: two shuffles on md5 keys,
+        # map-side-combinable counts, no UDF (fixture "paragraphs" are
+        # 10-word blocks; real web text swaps the splitter only)
+        from deduce_spark.spark.textstats import paragraph_dedup
+
+        return paragraph_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["para_dedup_docs"] = para_dedup_docs
+
+    def doc_repetition(spark, sf_dir):
+        # Gopher-style repetition filters: top-word dominance + duplicate
+        # bigram fraction as exact-integer permille (float rounding at a
+        # boundary would flip the driver's value hash)
+        from deduce_spark.spark.textstats import repetition_stats
+
+        return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["doc_repetition"] = doc_repetition
+
     def ngram_jaccard(spark, sf_dir):
         from deduce_spark.spark.dedup import ngram_jaccard_pairs
 
@@ -1219,6 +1239,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "para_dedup_docs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            e AS (SELECT doc_id, ws,
+                         unnest(range(0, CAST(ceil(len(ws) / 10.0) AS INT))) AS i
+                  FROM w),
+            p AS (SELECT doc_id,
+                         md5(array_to_string(ws[i*10+1 : i*10+10], ' ')) AS ph
+                  FROM e),
+            shared AS (SELECT ph FROM p GROUP BY ph
+                       HAVING COUNT(DISTINCT doc_id) > 1),
+            tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p GROUP BY doc_id),
+            sh AS (SELECT doc_id, COUNT(*) AS n_shared_paras FROM p
+                   WHERE ph IN (SELECT ph FROM shared) GROUP BY doc_id)
+            SELECT t.doc_id, t.n_paras,
+                   COALESCE(s.n_shared_paras, 0) AS n_shared_paras
+            FROM tot t LEFT JOIN sh s USING (doc_id) ORDER BY t.doc_id
+        """,
+        "doc_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            e AS (SELECT doc_id, len(ws) AS n_words, unnest(ws) AS word
+                  FROM w),
+            cnt AS (SELECT doc_id, n_words, word, COUNT(*) AS c
+                    FROM e GROUP BY doc_id, n_words, word),
+            top AS (SELECT doc_id, n_words, MAX(c) AS top_c
+                    FROM cnt GROUP BY doc_id, n_words),
+            bg AS (SELECT doc_id,
+                          len(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS n_bigrams,
+                          len(list_distinct(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1]))) AS n_distinct_bigrams
+                   FROM w)
+            SELECT t.doc_id, t.n_words,
+                   (1000 * t.top_c) // t.n_words AS top_word_permille,
+                   CASE WHEN b.n_bigrams = 0 THEN 0
+                        ELSE (1000 * (b.n_bigrams - b.n_distinct_bigrams))
+                             // b.n_bigrams END AS dup_bigram_permille
+            FROM top t JOIN bg b USING (doc_id) ORDER BY t.doc_id
         """,
         "ngram_jaccard": """
             WITH grams AS (

@@ -163,3 +163,108 @@ def winnow_doc(text: str, k: int = 8, window: int = 4) -> list[int]:
         [i + int(h[i : i + window].argmin()) for i in range(n - window + 1)]
     )
     return [int(h[i]) for i in sorted(set(idx.tolist()))]
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 10,
+) -> DataFrame:
+    """ccnet-style paragraph-level dedup accounting, fully native.
+
+    "Paragraphs" are consecutive ``words_per_para``-word blocks (the corpus
+    fixture is newline-free word salad; on real web text swap the splitter
+    for ``split(text, '\\n\\n')`` — everything downstream is identical).
+    Output per document: total paragraph count and how many of its
+    paragraphs also occur in at least one OTHER document — the quantity a
+    cleaning pass removes.
+
+    Scale shape: explode -> md5(paragraph) so the groupBy/join shuffle
+    carries 32-byte keys instead of full paragraph text; the group count is
+    map-side combinable; the join back to documents is on the same hashed
+    key.  This is exactly the boilerplate-paragraph removal pipeline from
+    ccnet run as two shuffles, no UDF anywhere."""
+    words = f"split({text_col}, ' ')"
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size({words}) / "
+                f"{words_per_para}.0)) - 1), "
+                f"i -> array_join(slice({words}, i * {words_per_para} + 1, "
+                f"{words_per_para}), ' '))"
+            )
+        ).alias("para"),
+    ).select("doc_id", F.md5("para").alias("ph"))
+    shared = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("ph")
+    )
+    return (
+        # plain semi join: AQE broadcasts when the shared set is small and
+        # falls back to shuffle when boilerplate is abundant at web scale
+        paras.join(shared, "ph", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_paras"))
+        .join(
+            paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras")),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_shared_paras", F.lit(0)).alias("n_shared_paras"),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, exact-integer ratios, no UDF.
+
+    Per document:
+      n_words            whitespace word count
+      top_word_permille  floor(1000 * occurrences of the most frequent
+                         word / n_words) — dominance of one token
+      dup_bigram_permille floor(1000 * (bigrams - distinct bigrams) /
+                         bigrams) — text that loops on itself
+    Integer DIV keeps Spark and the DuckDB oracle bit-identical (float
+    rounding at a boundary would flip the driver's value hash)."""
+    words = f"split({text_col}, ' ')"
+    bigrams = (
+        f"case when size({words}) < 2 then array() "
+        f"else transform(sequence(1, size({words}) - 1), "
+        f"i -> concat(element_at({words}, i), ' ', "
+        f"element_at({words}, i + 1))) end"
+    )
+    exploded = df.select(
+        "doc_id",
+        F.size(F.expr(words)).alias("n_words"),
+        F.explode(F.expr(words)).alias("w"),
+    )
+    top = (
+        exploded.groupBy("doc_id", "n_words", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_words")
+        .agg(F.max("c").alias("top_c"))
+    )
+    bg = df.select(
+        "doc_id",
+        F.size(F.expr(bigrams)).alias("n_bigrams"),
+        F.size(F.array_distinct(F.expr(bigrams))).alias("n_distinct_bigrams"),
+    )
+    return (
+        top.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr("(1000 * top_c) DIV n_words").alias("top_word_permille"),
+            F.expr(
+                "case when n_bigrams = 0 then 0 else "
+                "(1000 * (n_bigrams - n_distinct_bigrams)) DIV n_bigrams end"
+            ).alias("dup_bigram_permille"),
+        )
+    )

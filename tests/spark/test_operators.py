@@ -259,3 +259,50 @@ class TestResize:
         import pytest as pt
         with pt.raises(NotImplementedError):
             multimodal.resize_images(media, use_decoder=True)
+
+
+class TestParagraphDedup:
+    def test_shared_paragraph_counting(self, spark):
+        # doc 0 and 1 share their first 10-word block; doc 2 is unique
+        blk = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        rows = [
+            (0, blk + " a b c"),
+            (1, blk + " d e f"),
+            (2, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 g h i"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["n_paras"], r["n_shared_paras"])
+            for r in textstats.paragraph_dedup(df).collect()
+        }
+        assert out == {0: (2, 1), 1: (2, 1), 2: (2, 0)}
+
+    def test_within_doc_repeat_not_shared(self, spark):
+        # the same block twice in ONE doc is not cross-document boilerplate
+        blk = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        df = spark.createDataFrame(
+            [(0, blk + " " + blk)], "doc_id long, text string"
+        )
+        out = textstats.paragraph_dedup(df).collect()[0]
+        assert (out["n_paras"], out["n_shared_paras"]) == (2, 0)
+
+
+class TestRepetitionStats:
+    def test_exact_permilles(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "a a a b"),          # top 3/4 words; bigrams: aa,aa,ab -> 1 dup of 3
+                (1, "a b c d"),          # no repetition
+                (2, "x"),                # single word, no bigrams
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (
+                r["n_words"], r["top_word_permille"], r["dup_bigram_permille"]
+            )
+            for r in textstats.repetition_stats(df).collect()
+        }
+        assert out[0] == (4, 750, 333)
+        assert out[1] == (4, 250, 0)
+        assert out[2] == (1, 1000, 0)
