@@ -328,6 +328,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repetition"] = doc_repetition
 
+    def decontam_overlap_docs(spark, sf_dir):
+        # benchmark-decontamination pass (GPT-3 appendix C style): flag
+        # training docs whose word 8-grams collide with the eval set
+        # (every 50th doc plays the benchmark); broadcast semi-join, the
+        # big side never shuffles
+        from deduce_spark.spark.curation import decontam_overlap
+
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return decontam_overlap(docs, bench, n=8).orderBy("doc_id")
+
+    q["decontam_overlap_docs"] = decontam_overlap_docs
+
+    def sample_per_lang(spark, sf_dir):
+        # deterministic stratified sample: 20 docs per language by
+        # md5-hash order — reproducible across re-runs and partitionings,
+        # unlike df.sample
+        from deduce_spark.spark.curation import sample_per_group
+
+        return sample_per_group(_docs(spark, sf_dir), "lang", 20).orderBy(
+            "doc_id"
+        )
+
+    q["sample_per_lang"] = sample_per_lang
+
+    def token_budget_mix_docs(spark, sf_dir):
+        # corpus mixing under per-source token budgets: admit docs in hash
+        # order until each source crosses its budget (one window per
+        # source, broadcast budget map)
+        from deduce_spark.spark.curation import token_budget_mix
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        budgets = {f"src{i}": 300 for i in range(20)}
+        return token_budget_mix(docs, budgets).orderBy("doc_id")
+
+    q["token_budget_mix_docs"] = token_budget_mix_docs
+
     def ngram_jaccard(spark, sf_dir):
         from deduce_spark.spark.dedup import ngram_jaccard_pairs
 
@@ -1279,6 +1319,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1000 * (b.n_bigrams - b.n_distinct_bigrams))
                              // b.n_bigrams END AS dup_bigram_permille
             FROM top t JOIN bg b USING (doc_id) ORDER BY t.doc_id
+        """,
+        "decontam_overlap_docs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ws) - 6),
+                             i -> array_to_string(ws[i : i+7], ' '))) AS gram
+                  FROM w WHERE len(ws) >= 8),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+            hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM g
+                    WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+            SELECT t.doc_id, t.n_grams,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   CASE WHEN t.n_grams = 0 THEN 0
+                        ELSE (1000 * COALESCE(h.n_hits, 0)) // t.n_grams
+                   END AS contam_permille
+            FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY t.doc_id
+        """,
+        "sample_per_lang": """
+            WITH h AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS hh
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY lang ORDER BY hh, doc_id) AS rk FROM h)
+            SELECT doc_id, text, lang, source, n_chars
+            FROM r WHERE rk <= 20 ORDER BY doc_id
+        """,
+        "token_budget_mix_docs": """
+            WITH t AS (SELECT doc_id, source,
+                              len(string_split(text, ' ')) AS n_tokens,
+                              md5(CAST(doc_id AS VARCHAR)) AS hh
+                       FROM documents),
+            r AS (SELECT doc_id, source, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY hh, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running
+                  FROM t)
+            SELECT source, doc_id, n_tokens, CAST(running AS BIGINT) AS running
+            FROM r WHERE running - n_tokens < 300 ORDER BY doc_id
         """,
         "ngram_jaccard": """
             WITH grams AS (

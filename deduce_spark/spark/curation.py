@@ -1,0 +1,130 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, deterministic stratified sampling, token-budget mixing.
+
+All three are native DataFrame compositions (no UDF) with exact ANSI-SQL
+twins for the DuckDB oracle; determinism comes from hash-ordered windows
+instead of RNG, so a re-run (or a resumed partition) selects identical
+rows — the property a reproducible data release needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decontam_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document benchmark-contamination score: the fraction (permille)
+    of the document's word ``n``-grams that appear in ANY benchmark text.
+
+    The standard decontamination pass before LLM training (e.g. GPT-3
+    appendix C: 13-gram overlap): training docs whose n-grams collide with
+    an eval set are dropped or flagged.  Shape: the benchmark n-gram set is
+    SMALL (eval suites are thousands of items), so it broadcasts; the scan
+    over training docs is one explode + broadcast semi-join + count —
+    no shuffle of the big side at all.  Exact-integer permille keeps the
+    value hash stable across engines.
+    """
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        words = f"split({text_col}, ' ')"
+        g = (
+            f"case when size({words}) < {n} then array() "
+            f"else transform(sequence(1, size({words}) - {n - 1}), "
+            f"i -> array_join(slice({words}, i, {n}), ' ')) end"
+        )
+        cols = [F.col(id_col).alias("doc_id")] if keep_id else []
+        return df.select(*cols, F.explode(F.expr(g)).alias("gram"))
+
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    doc_grams = grams(docs, keep_id=True)
+    totals = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                "case when n_grams = 0 then 0 "
+                "else (1000 * coalesce(n_hits, 0)) DIV n_grams end"
+            ).alias("contam_permille"),
+        )
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``k`` rows per group with the
+    smallest ``md5(id)`` — a uniform pseudo-random draw that every
+    re-run (and every resumed partition) reproduces exactly, unlike
+    ``df.sample`` whose output depends on partitioning.  (md5-of-string
+    rather than xxhash64 so the DuckDB oracle can replay the exact order;
+    a production mix would use the cheaper ``F.xxhash64`` — the plan shape
+    is identical.)
+
+    One hash + one windowed rank per group; the window partitions by the
+    group key so skewed groups parallelize across their own partitions'
+    sort, and no global sort or collect exists anywhere."""
+    w = Window.partitionBy(group_col).orderBy("h", id_col)
+    return (
+        df.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("h", "rk")
+    )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus mixing under per-source token budgets: keep documents from
+    each source in hash order until the source's running token total
+    reaches its budget (the last admitted document may overshoot — budget
+    semantics are "stop after crossing", which keeps the cutoff a pure
+    row-local predicate over the running sum).
+
+    This is how training mixes are assembled ("100B tokens web, 20B code,
+    5B wiki"): deterministic hash order de-biases the take (no
+    crawl-order artifacts), the running sum is one window per source, and
+    the budget map rides along as a broadcast literal — at 10^12 docs this
+    is a single shuffle by source with skew bounded by the window sort."""
+    spark = docs.sparkSession
+    budget_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(b)) for s, b in sorted(budgets.items())],
+            f"{group_col} string, budget long",
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .withColumn("running", F.sum(tokens_col).over(w))
+        .join(budget_df, group_col)
+        .filter(
+            (F.col("running") - F.col(tokens_col)) < F.col("budget")
+        )
+        .drop("h", "budget")
+    )
