@@ -1112,6 +1112,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_top_cooccurrence"] = kg_top_cooccurrence
 
+    def _cooc_edges(spark, sf_dir):
+        from deduce_spark.spark import kg
+
+        mentions = _mentions(spark, sf_dir)
+        surface_map, _nodes = _canon(spark, sf_dir)
+        cooc = kg.triples(mentions, surface_map).filter(
+            F.col("pred") == "coOccursWith"
+        )
+        return cooc.select(
+            F.col("subj").cast("long").alias("a"),
+            F.col("obj").cast("long").alias("b"),
+        ).distinct()
+
+    def kg_pagerank(spark, sf_dir):
+        # integer-quantized PageRank over the co-occurrence graph —
+        # bit-deterministic under any partitioning (see pagerank_quantized),
+        # which is what lets a golden fixture value-oracle it
+        from deduce_spark.spark import kg
+
+        pr = kg.pagerank_quantized(_cooc_edges(spark, sf_dir))
+        return pr.orderBy(F.desc("rank"), "entity_id").limit(50)
+
+    q["kg_pagerank"] = kg_pagerank
+
+    def kg_triangles(spark, sf_dir):
+        # hub-capped triangle count (graph-cohesion summary of the KG)
+        from deduce_spark.spark import kg
+
+        return kg.triangle_count(_cooc_edges(spark, sf_dir), max_degree=64)
+
+    q["kg_triangles"] = kg_triangles
+
     def kg_redact_sample(spark, sf_dir):
         pipe = _pipeline(spark)
         pages = _pages_df(spark, sf_dir)
@@ -1698,6 +1730,8 @@ def oracle_sql() -> dict[str, str]:
                 "kg_entity_degree": "degree",
                 "kg_top_cooccurrence": "n_pages DESC, subj_form, obj_form",
                 "kg_redact_sample": "url",
+                "kg_pagerank": "rank DESC, entity_id",
+                "kg_triangles": "n_triangles",
                 "minhash_dedup_docs": "doc_id",
                 "simhash_pairs_docs": "a, b",
                 "lsh_topk_embeddings": "query_id, rank",

@@ -300,6 +300,49 @@ def golden_kg(n_pages: int) -> dict[str, pd.DataFrame]:
     out["kg_redact_sample"] = pd.DataFrame(
         red, columns=["url", "redacted_text"]
     )
+
+    # graph analytics over the distinct coOccursWith edge set -------------
+    dedges = sorted(set(fam["_cooc_rows"]))  # (a, b) with a < b
+
+    # pagerank_quantized replica: same int64 units / DIV arithmetic
+    nbrs2: dict[int, set[int]] = defaultdict(set)
+    for a, b in dedges:
+        nbrs2[a].add(b)
+        nbrs2[b].add(a)
+    unit = 1_000_000_000
+    base = (15 * unit) // 100
+    rank = {v: unit for v in nbrs2}
+    for _ in range(5):
+        sums: dict[int, int] = defaultdict(int)
+        for v, ns in nbrs2.items():
+            contrib = rank[v] // len(ns)
+            for n in ns:
+                sums[n] += contrib
+        rank = {v: base + (85 * sums.get(v, 0)) // 100 for v in nbrs2}
+    top = sorted(rank.items(), key=lambda vr: (-vr[1], vr[0]))[:50]
+    out["kg_pagerank"] = pd.DataFrame(
+        top, columns=["entity_id", "rank"]
+    ).astype("int64")
+
+    # triangle_count replica: hub cap 64, oriented wedge close
+    deg = {v: len(ns) for v, ns in nbrs2.items()}
+    kept = {v for v, d in deg.items() if d <= 64}
+    kedges = [(a, b) for a, b in dedges if a in kept and b in kept]
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in kedges:
+        adj[a].add(b)
+    n_tri = sum(
+        1
+        for a, bs in adj.items()
+        for b in bs
+        for c in adj[a]
+        if b < c and c in adj.get(b, ())
+    )
+    knodes = {v for e in kedges for v in e}
+    out["kg_triangles"] = pd.DataFrame(
+        [(len(knodes), len(kedges), n_tri)],
+        columns=["n_nodes_kept", "n_edges_kept", "n_triangles"],
+    ).astype("int64")
     return out
 
 

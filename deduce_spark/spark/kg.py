@@ -572,3 +572,107 @@ def score_form(ntype: str, form: str, dicts: dict) -> tuple[float, str]:
     if hits:
         return round(0.5 * hits / len(toks), 4), "partial"
     return 0.0, "none"
+
+
+# ---------------------------------------------------------------------------
+# graph analytics over the coOccursWith edge table
+# ---------------------------------------------------------------------------
+
+
+def pagerank_quantized(
+    edges: DataFrame, n_iter: int = 5, unit: int = 1_000_000_000
+) -> DataFrame:
+    """PageRank over undirected (a, b) long edges in EXACT integer space.
+
+    Ranks live in int64 "units" (initial rank = ``unit`` per node, damping
+    0.85 applied as ``(85 * x) DIV 100``): contribution division, damping,
+    and the neighbour sum are all integer ops, so — like the quantized IVF
+    — the result is bit-identical no matter how the edge table is
+    partitioned, and the sequential golden-fixture generator can replay it
+    exactly.  Float PageRank cannot make that promise (the per-node sum
+    order varies with the shuffle).
+
+    Per iteration: one join of the cached (src, dst, src_degree) edge list
+    with the current rank table + one map-side-combinable long-sum groupBy.
+    Lineage is cut with localCheckpoint so n_iter rounds don't stack a
+    growing plan."""
+    # materialize the edge list once: the input is typically the tail of a
+    # long pipeline (triples fanout), and sym/deg are consumed every
+    # iteration — without this the whole upstream chain re-executes 2x per
+    # round
+    edges = edges.localCheckpoint(eager=True)
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).cache()
+    adj = sym.join(deg, "src").cache()
+    ranks = deg.select("src", F.lit(int(unit)).cast("long").alias("rank"))
+    base = int(15 * unit) // 100
+    for _ in range(n_iter):
+        sums = (
+            adj.join(ranks, "src")
+            .select("dst", F.expr("rank DIV degree").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            deg.join(sums, deg.src == sums.dst, "left")
+            .select(
+                deg.src,
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, 0L)) DIV 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    adj.unpersist()
+    deg.unpersist()
+    return ranks.select(F.col("src").alias("entity_id"), "rank")
+
+
+def triangle_count(edges: DataFrame, max_degree: int = 64) -> DataFrame:
+    """Global triangle count over undirected (a, b) long edges, hub-capped.
+
+    Nodes with degree > ``max_degree`` are dropped first (the standard
+    scale guard: a celebrity entity on every page would otherwise create
+    deg² wedges); the remaining count is the two-join wedge-close pattern
+    with edges oriented a<b so each triangle is counted exactly once.
+    Returns one row (n_nodes_kept, n_edges_kept, n_triangles)."""
+    e = edges.filter(F.col("a") < F.col("b")).distinct().localCheckpoint(
+        eager=True
+    )
+    deg = (
+        e.select(F.col("a").alias("v")).union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep = F.broadcast(deg.filter(F.col("d") <= max_degree).select("v"))
+    e = (
+        e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+        .select("a", "b")
+        .cache()
+    )
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .select(F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
+    )
+    tri = wedge.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    n_nodes = e.select(F.col("a").alias("v")).union(
+        e.select(F.col("b").alias("v"))
+    ).distinct().count()
+    n_edges = e.count()
+    n_tri = tri.count()
+    e.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        "n_nodes_kept long, n_edges_kept long, n_triangles long",
+    )

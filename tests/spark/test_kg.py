@@ -186,3 +186,35 @@ def test_cc_two_phase_long_chain(spark):
     }
     assert len(comp) == 2000
     assert set(comp.values()) == {0}
+
+
+class TestGraphAnalytics:
+    def test_pagerank_partitioning_invariant(self, spark):
+        from deduce_spark.spark.kg import pagerank_quantized
+
+        # path + triangle + isolate-pair: known structure
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)], "a long, b long"
+        )
+        a = sorted(map(tuple, pagerank_quantized(edges).collect()))
+        b = sorted(map(tuple, pagerank_quantized(edges.repartition(7)).collect()))
+        assert a == b
+        r = dict(a)
+        # triangle members outrank the pendant, pendant outranks nothing odd
+        assert r[3] > r[4]
+        assert r[1] == r[2]          # symmetric positions -> identical rank
+        assert r[10] == r[11]
+
+    def test_triangle_count_exact_and_hub_cap(self, spark):
+        from deduce_spark.spark.kg import triangle_count
+
+        # K4 has 4 triangles
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        edges = spark.createDataFrame(k4, "a long, b long")
+        row = triangle_count(edges).collect()[0]
+        assert (row["n_nodes_kept"], row["n_edges_kept"], row["n_triangles"]) == (4, 6, 4)
+        # hub cap: star node with degree 5 removed -> no triangles left
+        star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+        edges2 = spark.createDataFrame(star, "a long, b long")
+        row2 = triangle_count(edges2, max_degree=4).collect()[0]
+        assert row2["n_triangles"] == 0 and row2["n_nodes_kept"] == 2
