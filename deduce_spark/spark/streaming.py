@@ -134,6 +134,27 @@ def windowed_tag_counts(
     )
 
 
+def dedup_pages_stream(
+    pages_stream: DataFrame,
+    watermark: str = "2 hours",
+    key_cols: tuple = ("url",),
+) -> DataFrame:
+    """Cross-micro-batch page dedup with BOUNDED state.
+
+    A crawl feed re-delivers pages (re-crawls, retries, mirror hosts with
+    the same canonical url); plain ``dropDuplicates`` on a stream keeps
+    every key ever seen — unbounded state on an unbounded feed.
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the watermark
+    passes its event time: a duplicate arriving within the watermark
+    horizon is dropped, one arriving later is treated as a legitimate
+    re-crawl (which downstream icetable upsert handles idempotently by
+    key anyway — this stage exists to cut the redundant ANNOTATION work,
+    the expensive part, not to guarantee global uniqueness)."""
+    return pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(list(key_cols))
+
+
 _SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_id long, n_events long, first_ts timestamp, "
     "last_ts timestamp"

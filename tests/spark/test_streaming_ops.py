@@ -131,3 +131,64 @@ def test_sessionize_stateful_across_runs(spark, tmp_path):
     s1 = next(r for r in got2 if r["session_id"] == 1)
     assert s1["first_ts"] == base.replace(tzinfo=None)
     assert s1["last_ts"] == (base + dt.timedelta(minutes=25)).replace(tzinfo=None)
+
+
+def test_dedup_pages_stream_within_watermark(spark, tmp_path):
+    """Duplicate urls inside the watermark horizon are dropped across
+    micro-batch boundaries (state persists in the checkpoint); a re-crawl
+    far beyond the watermark passes through as a fresh page."""
+    src = tmp_path / "pages_dd"
+    ckpt = tmp_path / "ckpt_dd"
+    src.mkdir()
+    collected = []
+
+    base = dt.datetime(2024, 3, 1, tzinfo=UTC)
+
+    def rows(*specs):
+        return [
+            (
+                f"https://example.nl/{name}",
+                base + dt.timedelta(hours=h),
+                "tekst",
+                "nl",
+            )
+            for name, h in specs
+        ]
+
+    # batch 1: a + its immediate duplicate + b
+    spark.createDataFrame(
+        rows(("a", 0), ("a", 0), ("b", 0)), PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _run_stream(spark, src, ckpt, st.dedup_pages_stream, collected)
+
+    # batch 2 (same checkpoint): a again within the 2h watermark -> dropped;
+    # c is new
+    spark.createDataFrame(
+        rows(("a", 1), ("c", 1)), PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _run_stream(spark, src, ckpt, st.dedup_pages_stream, collected)
+
+    # batch 3 advances the watermark (max event time 71h - 2h delay = 69h),
+    # which evicts the day-1 keys from state at the NEXT batch...
+    spark.createDataFrame(rows(("d", 71)), PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    _run_stream(spark, src, ckpt, st.dedup_pages_stream, collected)
+
+    # ...so batch 4's re-crawl of a (3 days after the original) is kept
+    spark.createDataFrame(
+        rows(("a", 72), ("b", 72)), PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _run_stream(spark, src, ckpt, st.dedup_pages_stream, collected)
+
+    seen = sorted(
+        (r["url"].rsplit("/", 1)[1], r["warc_ts"].day) for r in collected
+    )
+    # batch 1: one copy of a, one b; batch 2: only c (a was in-watermark)
+    assert seen.count(("a", 1)) == 1
+    assert seen.count(("b", 1)) == 1
+    assert seen.count(("c", 1)) == 1
+    # the 3-days-later re-crawl of a survives: its state was evicted
+    assert seen.count(("a", 4)) == 1
+    assert seen.count(("b", 4)) == 1
+    assert len(seen) == 6  # a@d1, b@d1, c@d1, d@d3, a@d4, b@d4
