@@ -1144,6 +1144,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triangles"] = kg_triangles
 
+    def media_audio_stats(spark, sf_dir):
+        # REAL PCM-WAV decode (pure numpy RIFF parser) -> integer waveform
+        # stats; blobs are valid generated WAV files
+        from deduce_spark.spark.multimodal import audio_stats, synthetic_media_real
+
+        media = synthetic_media_real(spark, 32).filter(
+            F.col("media_type") == "audio/wav"
+        )
+        return audio_stats(media).orderBy("media_id")
+
+    q["media_audio_stats"] = media_audio_stats
+
+    def media_image_stats(spark, sf_dir):
+        # REAL uncompressed-BMP decode -> dimensions + exact integer
+        # channel means
+        from deduce_spark.spark.multimodal import image_stats, synthetic_media_real
+
+        media = synthetic_media_real(spark, 32).filter(
+            F.col("media_type") == "image/bmp"
+        )
+        return image_stats(media).orderBy("media_id")
+
+    q["media_image_stats"] = media_image_stats
+
     def kg_redact_sample(spark, sf_dir):
         pipe = _pipeline(spark)
         pages = _pages_df(spark, sf_dir)
@@ -1739,6 +1763,8 @@ def oracle_sql() -> dict[str, str]:
                 "winnow_fingerprints": "doc_id",
                 "media_probe": "media_id",
                 "media_resize": "media_id",
+                "media_audio_stats": "media_id",
+                "media_image_stats": "media_id",
             }.items()
         },
     }

@@ -306,3 +306,69 @@ class TestRepetitionStats:
         assert out[0] == (4, 750, 333)
         assert out[1] == (4, 250, 0)
         assert out[2] == (1, 1000, 0)
+
+
+class TestRealDecoders:
+    def test_wav_roundtrip_exact(self):
+        import struct
+
+        import numpy as np
+
+        sr, samples = 8000, np.array([0, 100, -100, 32767, -32768], dtype="<i2")
+        fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+        data = samples.tobytes()
+        blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        got_sr, ch, bits, got = multimodal.decode_wav(blob)
+        assert (got_sr, ch, bits) == (8000, 1, 16)
+        assert got.tolist() == samples.astype("int32").tolist()
+
+    def test_wav_skips_unknown_chunks(self):
+        import struct
+
+        base = multimodal.synth_wav(0)
+        # splice a LIST chunk between WAVE and fmt
+        extra = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+        blob = base[:12] + extra + base[12:]
+        assert multimodal.wav_stats_one(blob) == multimodal.wav_stats_one(base)
+
+    def test_wav_non_pcm_raises(self):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float PCM
+        blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 0))
+        with pytest.raises(NotImplementedError, match="integer PCM"):
+            multimodal.decode_wav(blob)
+
+    def test_bmp_roundtrip_pixels(self):
+        import numpy as np
+
+        blob = multimodal.synth_bmp(5, width=7, height=3)  # odd width: padding
+        px = multimodal.decode_bmp(blob)
+        assert px.shape == (3, 7, 3)
+        # logical top-left pixel from the generator formulas (i=5)
+        assert px[0, 0].tolist() == [(0 * 11 + 35) % 256, (0 * 17 + 65) % 256, 5]
+        assert px[2, 6].tolist() == [(6 * 11 + 35) % 256, (2 * 17 + 65) % 256, 13]
+
+    def test_bmp_compressed_raises(self):
+        import struct
+
+        body = b"\x00" * 12
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, len(body),
+                           2835, 2835, 0, 0)  # compression=1 (RLE)
+        header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+        with pytest.raises(NotImplementedError, match="uncompressed"):
+            multimodal.decode_bmp(header + info + body)
+
+    def test_stats_operators_match_kernel(self, spark):
+        media = multimodal.synthetic_media_real(spark, 8)
+        audio = {r["media_id"]: (r["rms_q"], r["peak"], r["zero_crossings"])
+                 for r in multimodal.audio_stats(
+                     media.filter(F.col("media_type") == "audio/wav")).collect()}
+        for mid, blob, t in multimodal.synthetic_media_real_rows(8):
+            if t == "audio/wav":
+                _sr, _ch, _n, rms, peak, zc = multimodal.wav_stats_one(blob)
+                assert audio[mid] == (rms, peak, zc)
