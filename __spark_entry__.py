@@ -368,6 +368,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_budget_mix_docs"] = token_budget_mix_docs
 
+    def corpus_filter_docs(spark, sf_dir):
+        # the composed keep/drop verdict a cleaning pipeline materializes:
+        # length -> repetition -> dominance -> exact-dup, first fail wins
+        from deduce_spark.spark.curation import corpus_filter
+
+        return corpus_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["corpus_filter_docs"] = corpus_filter_docs
+
     def ngram_jaccard(spark, sf_dir):
         from deduce_spark.spark.dedup import ngram_jaccard_pairs
 
@@ -1414,6 +1423,44 @@ def oracle_sql() -> dict[str, str]:
                   FROM t)
             SELECT source, doc_id, n_tokens, CAST(running AS BIGINT) AS running
             FROM r WHERE running - n_tokens < 300 ORDER BY doc_id
+        """,
+        "corpus_filter_docs": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                       FROM documents),
+            e AS (SELECT doc_id, len(ws) AS n_words, unnest(ws) AS word
+                  FROM w),
+            cnt AS (SELECT doc_id, n_words, word, COUNT(*) AS c
+                    FROM e GROUP BY doc_id, n_words, word),
+            top AS (SELECT doc_id, n_words, MAX(c) AS top_c
+                    FROM cnt GROUP BY doc_id, n_words),
+            bg AS (SELECT doc_id,
+                          len(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS n_bigrams,
+                          len(list_distinct(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1]))) AS n_distinct_bigrams
+                   FROM w),
+            rep AS (SELECT t.doc_id, t.n_words,
+                           (1000 * t.top_c) // t.n_words AS top_word_permille,
+                           CASE WHEN b.n_bigrams = 0 THEN 0
+                                ELSE (1000 * (b.n_bigrams - b.n_distinct_bigrams))
+                                     // b.n_bigrams END AS dup_bigram_permille
+                    FROM top t JOIN bg b USING (doc_id)),
+            dup AS (SELECT doc_id,
+                           doc_id > MIN(doc_id) OVER (PARTITION BY md5(text))
+                               AS is_dup
+                    FROM w)
+            SELECT r.doc_id, r.n_words,
+                   CASE WHEN r.n_words < 20 THEN 'too_short'
+                        WHEN r.dup_bigram_permille >= 150 THEN 'repetitive'
+                        WHEN r.top_word_permille >= 300 THEN 'dominated'
+                        WHEN d.is_dup THEN 'duplicate'
+                        ELSE 'keep' END AS verdict,
+                   CASE WHEN r.n_words < 20 THEN FALSE
+                        WHEN r.dup_bigram_permille >= 150 THEN FALSE
+                        WHEN r.top_word_permille >= 300 THEN FALSE
+                        WHEN d.is_dup THEN FALSE
+                        ELSE TRUE END AS keep
+            FROM rep r JOIN dup d USING (doc_id) ORDER BY r.doc_id
         """,
         "ngram_jaccard": """
             WITH grams AS (

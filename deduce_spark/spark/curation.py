@@ -128,3 +128,46 @@ def token_budget_mix(
         )
         .drop("h", "budget")
     )
+
+
+def corpus_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end keep/drop verdict per document — the composition a
+    cleaning pipeline actually materializes before training.
+
+    Rules in precedence order (first failing rule names the drop reason;
+    all thresholds integer-exact so both engines agree bit-for-bit):
+
+      too_short   n_words < 20
+      repetitive  dup_bigram_permille >= 150 (Gopher-style repetition)
+      dominated   top_word_permille >= 300  (one token owns the text)
+      duplicate   another doc with a smaller id has identical text
+      keep        otherwise
+
+    Scale shape: repetition signals are per-row expressions + one
+    groupBy(doc); the duplicate rule is one window over md5(text) — the
+    same map-side-combinable shuffles as exact_dedup, no new pattern."""
+    from deduce_spark.spark.textstats import repetition_stats
+
+    rep = repetition_stats(docs.select(id_col, text_col), text_col)
+    dup_w = Window.partitionBy(F.md5(F.col(text_col)))
+    dup = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) > F.min(id_col).over(dup_w)).alias("is_dup"),
+    )
+    return (
+        rep.join(dup, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr(
+                "case when n_words < 20 then 'too_short' "
+                "when dup_bigram_permille >= 150 then 'repetitive' "
+                "when top_word_permille >= 300 then 'dominated' "
+                "when is_dup then 'duplicate' "
+                "else 'keep' end"
+            ).alias("verdict"),
+        )
+        .withColumn("keep", F.col("verdict") == "keep")
+    )

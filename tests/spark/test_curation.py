@@ -85,3 +85,28 @@ class TestTokenBudgetMix:
         )
         got = [r["doc_id"] for r in curation.token_budget_mix(df, {"known": 100}).collect()]
         assert got == [1]
+
+
+class TestCorpusFilter:
+    def test_all_verdict_branches(self, spark):
+        long_unique = " ".join(f"w{i}" for i in range(30))
+        repetitive = " ".join(["loop the"] * 15)           # dup bigrams galore
+        # interleaved so no bigram repeats: dominance fires, repetition not
+        dominated = " ".join(x for i in range(15) for x in ("spam", f"u{i}"))
+        docs = spark.createDataFrame(
+            [
+                (0, "tiny doc"),             # too_short
+                (1, repetitive),             # repetitive (30 words)
+                (2, dominated),              # dominated: 15/30 = 500 permille
+                (3, long_unique),            # keep (first copy)
+                (4, long_unique),            # duplicate of 3
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["verdict"], r["keep"])
+               for r in curation.corpus_filter(docs).collect()}
+        assert out[0] == ("too_short", False)
+        assert out[1] == ("repetitive", False)
+        assert out[2] == ("dominated", False)
+        assert out[3] == ("keep", True)
+        assert out[4] == ("duplicate", False)
