@@ -346,8 +346,13 @@ def canonicalize(
     ).cache()  # consumed by canon + nodes here AND by the caller's
     # triples() broadcast join — uncached, every consumer re-runs the
     # whole LSH chain (measured 78s -> 31s for the sf0.1 triples query)
-    # canonical form = most frequent surface in the component
-    # (deterministic tie-break on surface string)
+    return surface_map, nodes_from_surface_map(surface_map)
+
+
+def nodes_from_surface_map(surface_map: DataFrame) -> DataFrame:
+    """(entity_id, type, canonical_form, n_mentions) from a surface map —
+    canonical form = most-mentioned surface in the entity (deterministic
+    tie-break on the surface string)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("entity_id", "type").orderBy(
@@ -358,13 +363,12 @@ def canonicalize(
         .filter(F.col("rn") == 1)
         .select("entity_id", "type", F.col("surface").alias("canonical_form"))
     )
-    nodes = (
+    return (
         surface_map.groupBy("entity_id", "type")
         .agg(F.sum("n_mentions").alias("n_mentions"))
         .join(canon, ["entity_id", "type"])
         .select("entity_id", "type", "canonical_form", "n_mentions")
     )
-    return surface_map, nodes
 
 
 def triples(
@@ -676,3 +680,165 @@ def triangle_count(edges: DataFrame, max_degree: int = 64) -> DataFrame:
         [(n_nodes, n_edges, n_tri)],
         "n_nodes_kept long, n_edges_kept long, n_triangles long",
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental canonicalization (streaming / batch-append KG maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _band_explode(sigs: DataFrame, n_bands: int = SURFACE_BANDS) -> DataFrame:
+    rows_per_band = N_HASHES // n_bands
+    return sigs.select(
+        "surface_id",
+        "type",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def incremental_canonicalize(
+    new_mentions: DataFrame,
+    surface_map: DataFrame,
+    fuzzy_types: tuple[str, ...] = FUZZY_TYPES,
+    min_jaccard: float = SURFACE_JACCARD,
+    max_bucket: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch of NEW mentions into an existing canonicalization
+    without recomputing the whole entity graph.
+
+    Returns (updated_surface_map, updated_nodes) with the same schemas as
+    ``canonicalize``.  Existing entity ids are STABLE: a surface already in
+    the map keeps its entity and only its mention count grows; a novel
+    surface joins an existing entity when its minhash signature
+    LSH-matches one of that entity's surfaces (same banding + est-jaccard
+    verify as the batch path, bucket-capped on the existing side); novel
+    surfaces that match only each other form new entities via connected
+    components; everything else becomes its own entity — identical rules
+    to the batch path, applied one increment at a time.
+
+    Incremental-vs-batch caveat (inherent to any online entity
+    resolution): a later surface can be similar to two existing entities
+    that a full recompute would have bridged into one; the increment
+    adopts the MINIMUM matched entity id (deterministic) and does not
+    merge existing entities — merges are a compaction concern
+    (re-canonicalize), not an ingest concern.
+
+    At 10^12 scale the existing signatures would be read from a persisted
+    sidecar table (they are pure functions of the surface string); they
+    are recomputed here to stay self-contained."""
+    from pyspark.sql import Window
+
+    new_surf = surfaces(new_mentions).cache()
+    existing = surface_map.select(
+        "surface", "type", "n_mentions", "surface_id", "entity_id"
+    )
+    novel = new_surf.join(
+        existing.select("surface_id"), "surface_id", "left_anti"
+    ).cache()
+    add_counts = (
+        new_surf.join(existing.select("surface_id"), "surface_id", "left_semi")
+        .select("surface_id", F.col("n_mentions").alias("add_n"))
+    )
+
+    # -- novel fuzzy surfaces vs existing ones: cross-LSH match ------------
+    novel_fuzzy = novel.filter(F.col("type").isin(*fuzzy_types))
+    exist_fuzzy = existing.filter(F.col("type").isin(*fuzzy_types))
+    nsigs = surface_signatures(
+        novel_fuzzy.select("surface_id", "type", "surface")
+    ).cache()
+    esigs = surface_signatures(
+        exist_fuzzy.select("surface_id", "type", "surface")
+    )
+    nb = _band_explode(nsigs)
+    eb = _band_explode(esigs)
+    bucket_w = Window.partitionBy("type", "band", "band_key")
+    eb = (
+        eb.withColumn("bs", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("bs") <= max_bucket)
+        .drop("bs")
+    )
+    cand = (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.type") == F.col("e.type"))
+            & (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("n.surface_id").alias("n_sid"),
+            F.col("e.surface_id").alias("e_sid"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            nsigs.select(F.col("surface_id").alias("n_sid"),
+                         F.col("sig").alias("sig_n")), "n_sid")
+        .join(
+            esigs.select(F.col("surface_id").alias("e_sid"),
+                         F.col("sig").alias("sig_e")), "e_sid")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "aggregate(zip_with(sig_n, sig_e, (x, y) -> IF(x = y, 1, 0)),"
+                " 0, (acc, v) -> acc + v)"
+            ) / F.lit(N_HASHES),
+        )
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("n_sid", "e_sid")
+    )
+    adopt = (
+        verified.join(
+            existing.select(F.col("surface_id").alias("e_sid"), "entity_id"),
+            "e_sid",
+        )
+        .groupBy("n_sid")
+        .agg(F.min("entity_id").alias("adopted"))
+    )
+
+    # -- novel-novel clustering (same rules as the batch path) -------------
+    nn_pairs = candidate_pairs(nsigs, max_bucket=max_bucket)
+    comp = connected_components(nn_pairs)
+    novel_assigned = (
+        novel.join(comp, "surface_id", "left")
+        .withColumn("cluster", F.coalesce("component", "surface_id"))
+        .drop("component")
+    )
+    # a cluster adopts the minimum existing entity any member matched
+    cluster_adopt = (
+        novel_assigned.join(
+            adopt, novel_assigned.surface_id == adopt.n_sid, "left"
+        )
+        .groupBy("cluster")
+        .agg(F.min("adopted").alias("cluster_entity"))
+    )
+    novel_rows = (
+        novel_assigned.join(cluster_adopt, "cluster", "left")
+        .withColumn("entity_id", F.coalesce("cluster_entity", "cluster"))
+        .select("surface", "type", "n_mentions", "surface_id", "entity_id")
+    )
+
+    updated_sm = (
+        existing.join(add_counts, "surface_id", "left")
+        .withColumn(
+            "n_mentions",
+            F.col("n_mentions") + F.coalesce(F.col("add_n"), F.lit(0)),
+        )
+        .drop("add_n")
+        .unionByName(novel_rows)
+    ).cache()
+    new_surf.unpersist()
+    novel.unpersist()
+    nsigs.unpersist()
+    return updated_sm, nodes_from_surface_map(updated_sm)

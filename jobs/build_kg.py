@@ -57,6 +57,7 @@ def run_job(
     expire_keep: int = 0,
     kg_only: bool = False,
     person_col: str | None = None,
+    incremental: bool = False,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.iceberg_catalog import open_table
@@ -150,7 +151,19 @@ def run_job(
         summary["annotate_wall_s"] = round(wall, 3)
         summary["mentions_rows_written"] = man["summary"]["added_rows"]
 
-    # -- stage B: global canonicalize + triples (recomputed, idempotent) ----
+    # -- stage B: canonicalize + triples ------------------------------------
+    from deduce_spark.spark.iceberg_catalog import open_table as _ot
+
+    if incremental and _ot(spark, str(out / "surface_map")).exists():
+        if not todo:
+            summary["incremental"] = True
+            summary["kg_wall_s"] = 0.0  # nothing new: stage B is a no-op
+            return summary
+        return _stage_b_incremental(
+            spark, out, log, run_id, seq, mentions_table, engine,
+            with_cooccurrence, summary, todo,
+        )
+    # full (also the --incremental bootstrap when no surface_map exists yet)
     return _stage_b(
         spark, out, log, run_id, seq, mentions_table, engine,
         with_cooccurrence, expire_keep, summary,
@@ -174,6 +187,11 @@ def _stage_b(
     nodes = link_scores(nodes, link_bc)
     edges = triples(mentions_all, surface_map, with_cooccurrence=with_cooccurrence)
     edges = salted_repartition(edges, spark.sparkContext.defaultParallelism)
+    # the surface map is the base an --incremental run folds new batches
+    # into (stable entity ids); persisted alongside nodes/edges
+    open_table(spark, str(out / "surface_map")).write(
+        surface_map, mode="overwrite", summary={"run_id": run_id, "stage": "kg"}
+    )
     nodes_man = open_table(spark, str(out / "nodes")).write(
         nodes, mode="overwrite", summary={"run_id": run_id, "stage": "kg"}
     )
@@ -207,6 +225,80 @@ def _stage_b(
     return summary
 
 
+def _stage_b_incremental(
+    spark, out, log, run_id, seq, mentions_table, engine,
+    with_cooccurrence, summary, todo,
+) -> dict:
+    """Fold ONLY the parts processed this run into the persisted
+    canonicalization: existing entity ids stay stable, novel surfaces
+    adopt LSH-matched entities or mint new ones, and only the new
+    mentions' triples are APPENDED to the edges table — the whole edge
+    table is never rewritten.  Assumes an append-style feed (new parts);
+    a reprocessed part double-counts mentions until the next full
+    rebuild, which is the compaction path (run without --incremental)."""
+    from pyspark.sql import functions as F
+
+    from deduce_spark.spark import lineage as lin
+    from deduce_spark.spark.iceberg_catalog import open_table
+    from deduce_spark.spark.kg import (
+        build_link_dicts, incremental_canonicalize, link_scores,
+        salted_repartition, surfaces, triples,
+    )
+
+    t0 = time.monotonic()
+    sm_table = open_table(spark, str(out / "surface_map"))
+    existing_sm = sm_table.read(spark)
+    new_mentions = mentions_table.read(spark).filter(
+        F.col("part_id").isin([int(p) for p in todo])
+    )
+    updated_sm, nodes = incremental_canonicalize(new_mentions, existing_sm)
+    link_bc = spark.sparkContext.broadcast(build_link_dicts(engine))
+    nodes = link_scores(nodes, link_bc)
+
+    # upsert only the touched surface rows (novel + count-merged)
+    touched = updated_sm.join(
+        surfaces(new_mentions).select("surface_id"), "surface_id", "left_semi"
+    )
+    sm_man = sm_table.upsert(
+        touched, keys=["surface_id"],
+        summary={"run_id": run_id, "stage": "kg_incremental"},
+    )
+    nodes_man = open_table(spark, str(out / "nodes")).write(
+        nodes, mode="overwrite",
+        summary={"run_id": run_id, "stage": "kg_incremental"},
+    )
+    edges_new = triples(
+        new_mentions, updated_sm, with_cooccurrence=with_cooccurrence
+    )
+    edges_new = salted_repartition(
+        edges_new, spark.sparkContext.defaultParallelism
+    )
+    edges_man = open_table(spark, str(out / "edges")).write(
+        edges_new, partition_by=("pred",), mode="append",
+        summary={"run_id": run_id, "stage": "kg_incremental"},
+    )
+    wall = time.monotonic() - t0
+    log.append(
+        [
+            lin.stage_record(
+                "incremental_canonicalize", seq, run_id,
+                rows=sm_man["summary"]["total_rows"], wall_s=wall,
+                snapshot_id=sm_man["snapshot_id"],
+            ),
+            lin.stage_record(
+                "incremental_edges", seq, run_id,
+                rows=edges_man["summary"]["added_rows"], wall_s=wall,
+                snapshot_id=edges_man["snapshot_id"],
+            ),
+        ]
+    )
+    summary["kg_wall_s"] = round(wall, 3)
+    summary["incremental"] = True
+    summary["nodes_rows"] = nodes_man["summary"]["total_rows"]
+    summary["edges_rows_appended"] = edges_man["summary"]["added_rows"]
+    return summary
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", default=None,
@@ -225,6 +317,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional per-page known-person struct column "
                          "(first_names array<string>, initials, surname) "
                          "fed to the A8 annotator")
+    ap.add_argument("--incremental", action="store_true",
+                    help="fold only newly-processed parts into the persisted "
+                         "surface_map (stable entity ids) and APPEND their "
+                         "triples instead of rebuilding the whole graph; "
+                         "bootstraps to a full build when no surface_map "
+                         "table exists yet")
     ap.add_argument("--expire-keep", type=int, default=0, metavar="N",
                     help="after the run, keep only the last N snapshots per "
                          "output table and GC unreferenced data (0 = keep all)")
@@ -253,6 +351,7 @@ def main(argv: list[str] | None = None) -> int:
             expire_keep=args.expire_keep,
             kg_only=args.kg_only,
             person_col=args.person_col,
+            incremental=args.incremental,
         )
     finally:
         spark.stop()

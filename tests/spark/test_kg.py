@@ -218,3 +218,77 @@ class TestGraphAnalytics:
         edges2 = spark.createDataFrame(star, "a long, b long")
         row2 = triangle_count(edges2, max_degree=4).collect()[0]
         assert row2["n_triangles"] == 0 and row2["n_nodes_kept"] == 2
+
+
+class TestIncrementalCanonicalize:
+    def _mentions(self, spark, rows):
+        return spark.createDataFrame(rows, "text string, tag string")
+
+    def test_increment_matches_batch_rules(self, spark):
+        from deduce_spark.spark.kg import canonicalize, incremental_canonicalize
+
+        base = self._mentions(
+            spark,
+            [
+                ("Jan Jansen", "persoon"),
+                ("Jan Jansen", "persoon"),
+                ("Utrecht", "locatie"),
+                ("12 maart 2020", "datum"),
+            ],
+        )
+        sm0, n0 = canonicalize(base)
+        ent = {
+            (r["surface"], r["type"]): r["entity_id"] for r in sm0.collect()
+        }
+
+        inc = self._mentions(
+            spark,
+            [
+                ("Jan Jansen", "persoon"),     # exact repeat -> count merge
+                ("Jan  Jansen", "persoon"),    # normalizes to the same surface
+                ("Jan Jansenn", "persoon"),    # fuzzy variant -> adopts entity
+                ("Rotterdam", "locatie"),      # brand new -> new entity
+                ("Pietersen BV", "zorginstelling"),  # new; below: its near-dup
+                ("Pietersen B.V", "zorginstelling"),
+            ],
+        )
+        sm1, n1 = incremental_canonicalize(inc, sm0)
+        got = {
+            (r["surface"], r["type"]): (r["entity_id"], r["n_mentions"])
+            for r in sm1.collect()
+        }
+
+        jj = ("jan jansen", "PERSOON")
+        # exact + normalized repeats merged: 2 old + 2 new mentions
+        assert got[jj][0] == ent[jj]
+        assert got[jj][1] == 4
+        # fuzzy variant adopted the existing entity
+        assert got[("jan jansenn", "PERSOON")][0] == ent[jj]
+        # untouched existing surface kept entity and count
+        assert got[("utrecht", "LOCATIE")] == (ent[("utrecht", "LOCATIE")], 1)
+        # brand-new independent surface got a fresh entity (its own id)
+        rot = got[("rotterdam", "LOCATIE")]
+        assert rot[0] not in {e for e in ent.values()}
+        # two novel near-dups clustered together into ONE new entity
+        p1 = got[("pietersen bv", "INSTELLING")]
+        p2 = got[("pietersen b.v", "INSTELLING")]
+        assert p1[0] == p2[0]
+        assert p1[0] not in {e for e in ent.values()}
+        # nodes table consistent: canonical form of the jj entity unchanged
+        forms = {
+            (r["entity_id"], r["type"]): (r["canonical_form"], r["n_mentions"])
+            for r in n1.collect()
+        }
+        assert forms[(ent[jj], "PERSOON")][0] == "jan jansen"
+        assert forms[(ent[jj], "PERSOON")][1] == 5  # 4 + fuzzy variant
+
+    def test_empty_increment_is_identity(self, spark):
+        from deduce_spark.spark.kg import canonicalize, incremental_canonicalize
+
+        base = self._mentions(spark, [("Jan Jansen", "persoon")])
+        sm0, _ = canonicalize(base)
+        empty = self._mentions(spark, []) if False else spark.createDataFrame(
+            [], "text string, tag string"
+        )
+        sm1, n1 = incremental_canonicalize(empty, sm0)
+        assert sorted(map(tuple, sm1.collect())) == sorted(map(tuple, sm0.collect()))

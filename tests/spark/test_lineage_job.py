@@ -153,3 +153,65 @@ def test_person_col_through_job(spark, engine, tmp_path):
         mentions.filter(F.col("tag") == "patient").select("url").distinct().count()
     )
     assert n_patient_pages == 4
+
+
+class TestIncrementalJob:
+    def test_incremental_append_flow(self, spark, engine, tmp_path):
+        from pyspark.sql import functions as F
+
+        from deduce_spark.fixtures import write_pages_parquet
+
+        out = tmp_path / "kg_inc"
+        all_pages_path = write_pages_parquet(tmp_path / "pages", n_pages=60)
+        pages = spark.read.parquet(str(all_pages_path))
+        half1 = str(tmp_path / "half1")
+        both = str(tmp_path / "both")
+        urls = sorted(r["url"] for r in pages.select("url").collect())
+        cut = set(urls[:30])
+        pages.filter(F.col("url").isin(list(cut))).write.parquet(half1)
+        pages.write.parquet(both)
+
+        # bootstrap: --incremental with no surface_map falls back to full
+        s1 = run_job(spark, half1, str(out), n_parts=4, engine=engine,
+                     incremental=True)
+        assert "incremental" not in s1  # full build ran
+        sm = IceTable(out / "surface_map")
+        assert sm.exists()
+        base_ent = {
+            (r["surface"], r["type"]): r["entity_id"]
+            for r in sm.read(spark).collect()
+        }
+        edges_v1 = IceTable(out / "edges").read(spark).count()
+
+        # second run over the full set: only the new parts process, and
+        # stage B goes through the incremental path
+        s2 = run_job(spark, both, str(out), n_parts=4, engine=engine,
+                     incremental=True)
+        assert s2.get("incremental") is True
+        assert s2["parts_processed"] >= 1
+        # existing surfaces kept their entity ids
+        cur = {
+            (r["surface"], r["type"]): r["entity_id"]
+            for r in sm.read(spark).collect()
+        }
+        for k, e in base_ent.items():
+            assert cur[k] == e
+        assert len(cur) >= len(base_ent)
+        # edges appended, not rewritten
+        assert IceTable(out / "edges").read(spark).count() > edges_v1
+        # nodes table consistent with the surface map
+        nodes = IceTable(out / "nodes").read(spark)
+        assert nodes.count() == sm.read(spark).select("entity_id", "type").distinct().count()
+
+    def test_incremental_noop_when_nothing_new(self, spark, engine, tmp_path):
+        from deduce_spark.fixtures import write_pages_parquet
+
+        out = tmp_path / "kg_noop"
+        p = write_pages_parquet(tmp_path / "pages_noop", n_pages=20)
+        run_job(spark, str(p), str(out), n_parts=2, engine=engine,
+                incremental=True)
+        edges_v = IceTable(out / "edges").current_version()
+        s = run_job(spark, str(p), str(out), n_parts=2, engine=engine,
+                    incremental=True)
+        assert s.get("incremental") is True and s["parts_processed"] == 0
+        assert IceTable(out / "edges").current_version() == edges_v
