@@ -377,6 +377,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_filter_docs"] = corpus_filter_docs
 
+    def split_assign_docs(spark, sf_dir):
+        # deterministic train/val/test split by salted id hash — stable
+        # across runs/partitionings/engines, re-rollable via the salt;
+        # row-local, zero shuffle
+        from deduce_spark.spark.curation import split_assign
+
+        return split_assign(
+            _docs(spark, sf_dir).select("doc_id")
+        ).orderBy("doc_id")
+
+    q["split_assign_docs"] = split_assign_docs
+
+    def distinctive_terms_by_lang(spark, sf_dir):
+        # TF-IDF-style characteristic vocabulary per language in
+        # exact-integer form (cross-multiplied score, no float idf)
+        from deduce_spark.spark.curation import distinctive_terms
+
+        return distinctive_terms(_docs(spark, sf_dir), "lang", k=5).orderBy(
+            "grp", "rk"
+        )
+
+    q["distinctive_terms_by_lang"] = distinctive_terms_by_lang
+
     def ngram_jaccard(spark, sf_dir):
         from deduce_spark.spark.dedup import ngram_jaccard_pairs
 
@@ -1461,6 +1484,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d.is_dup THEN FALSE
                         ELSE TRUE END AS keep
             FROM rep r JOIN dup d USING (doc_id) ORDER BY r.doc_id
+        """,
+        "split_assign_docs": """
+            WITH b AS (SELECT doc_id,
+                              ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)),
+                                              1, 8))::BIGINT % 100 AS bucket
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bucket < 2 THEN 'test'
+                        WHEN bucket < 98 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM b ORDER BY doc_id
+        """,
+        "distinctive_terms_by_lang": """
+            WITH words AS (SELECT lang AS grp,
+                                  unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+            wnz AS (SELECT * FROM words WHERE w <> ''),
+            tf AS (SELECT grp, w, COUNT(*) AS tf FROM wnz GROUP BY grp, w),
+            dfg AS (SELECT w, COUNT(*) AS df_groups FROM tf GROUP BY w),
+            sc AS (SELECT grp, w, tf, df_groups,
+                          (tf * 1000000) // df_groups AS score,
+                          row_number() OVER (
+                              PARTITION BY grp
+                              ORDER BY (tf * 1000000) // df_groups DESC, w
+                          ) AS rk
+                   FROM tf JOIN dfg USING (w))
+            SELECT grp, rk, w, tf, df_groups, score
+            FROM sc WHERE rk <= 5 ORDER BY grp, rk
         """,
         "ngram_jaccard": """
             WITH grams AS (

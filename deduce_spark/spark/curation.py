@@ -171,3 +171,69 @@ def corpus_filter(
         )
         .withColumn("keep", F.col("verdict") == "keep")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    ``weights`` maps split name -> integer weight out of their sum (default
+    96/2/2).  The bucket is the first 8 hex chars of md5(salt || id) mod
+    total-weight: stable across runs, partitionings, and engines (the
+    DuckDB oracle replays it exactly); changing ``salt`` re-rolls the
+    split without touching data.  Row-local — no shuffle at all."""
+    weights = weights or {"train": 96, "val": 2, "test": 2}
+    total = sum(weights.values())
+    bucket = F.expr(
+        f"conv(substring(md5(concat('{salt}', cast({id_col} as string))),"
+        f" 1, 8), 16, 10) % {total}"
+    ).cast("long")
+    expr, lo = None, 0
+    out = F.lit(None).cast("string")
+    for name, wgt in sorted(weights.items()):
+        cond = (F.col("_bucket") >= lo) & (F.col("_bucket") < lo + wgt)
+        out = F.when(cond, name).otherwise(out)
+        lo += wgt
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("split", out)
+        .drop("_bucket")
+    )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per group — TF-IDF in exact-integer
+    form: score = tf_in_group * 1_000_000 DIV df_groups (cross-multiplied
+    instead of float idf, so Spark and the oracle rank identically; libm
+    ``ln`` differs in the last ulp across engines).
+
+    Two map-side-combinable aggregations (term counts per group, group
+    document frequency per term) + one broadcast-size join + one windowed
+    top-k — the standard "characteristic vocabulary" report at corpus
+    scale."""
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(text_col, " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_groups = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_groups"))
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("score"), F.asc("w")
+    )
+    return (
+        tf.join(df_groups, "w")
+        .withColumn("score", F.expr("(tf * 1000000) DIV df_groups"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("grp", F.col("rk").cast("long").alias("rk"), "w", "tf",
+                "df_groups", "score")
+    )

@@ -110,3 +110,38 @@ class TestCorpusFilter:
         assert out[2] == ("dominated", False)
         assert out[3] == ("keep", True)
         assert out[4] == ("duplicate", False)
+
+
+class TestSplitAssign:
+    def test_weights_and_determinism(self, spark):
+        df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+        out = curation.split_assign(df)
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > 0.9 * 5000          # ~96%
+        assert 0 < counts["val"] < 0.1 * 5000
+        assert 0 < counts["test"] < 0.1 * 5000
+        # stable under repartitioning
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, curation.split_assign(df.repartition(9)).collect()))
+        assert a == b
+        # a different salt re-rolls at least some assignments
+        c = dict(map(tuple, curation.split_assign(df, salt="v2").collect()))
+        assert any(c[i] != dict(a)[i] for i in range(5000))
+
+
+class TestDistinctiveTerms:
+    def test_group_exclusive_term_wins(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "nl", "fiets fiets fiets kaas"),
+             (1, "en", "bike bike cheese kaas"),
+             (2, "en", "bike tea")],
+            "doc_id long, lang string, text string",
+        )
+        out = curation.distinctive_terms(docs, "lang", k=2)
+        top = {(r["grp"], r["rk"]): (r["w"], r["score"])
+               for r in out.collect()}
+        # 'fiets' tf=3 df=1 -> 3e6; beats shared 'kaas' (tf=1 df=2 -> 5e5)
+        assert top[("nl", 1)] == ("fiets", 3_000_000)
+        assert top[("en", 1)] == ("bike", 3_000_000)
