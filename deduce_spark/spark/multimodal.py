@@ -220,6 +220,8 @@ def resize_one(blob: bytes, max_side: int = 32) -> tuple[bytes, int, int]:
     uint8 cast): bit-identical on every platform/BLAS, which the
     golden-CRC oracle depends on."""
     b = np.frombuffer(bytes(blob), dtype=np.uint8)
+    if len(b) == 0:
+        return b"\x00", 1, 1  # empty blob -> 1x1 black raster
     side = max(1, int(len(b) ** 0.5))
     raster = b[: side * side].reshape(side, side)
     if side > max_side:
