@@ -400,6 +400,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinctive_terms_by_lang"] = distinctive_terms_by_lang
 
+    def embed_hash_docs(spark, sf_dir):
+        # hashing-trick document embeddings (no vocab, no training, no
+        # UDF) — exploded to long format so DuckDB replays the exact
+        # buckets; the dense array<float> form feeds cosine/lsh/ivf topk
+        from deduce_spark.spark.similarity import feature_hash_embed
+
+        emb = feature_hash_embed(_docs(spark, sf_dir))
+        return (
+            emb.select("doc_id", F.posexplode("embedding").alias("bucket", "v"))
+            .select(
+                "doc_id",
+                F.col("bucket").cast("long").alias("bucket"),
+                F.col("v").cast("long").alias("val"),
+            )
+            .orderBy("doc_id", "bucket")
+        )
+
+    q["embed_hash_docs"] = embed_hash_docs
+
     def ngram_jaccard(spark, sf_dir):
         from deduce_spark.spark.dedup import ngram_jaccard_pairs
 
@@ -1512,6 +1531,26 @@ def oracle_sql() -> dict[str, str]:
                    FROM tf JOIN dfg USING (w))
             SELECT grp, rk, w, tf, df_groups, score
             FROM sc WHERE rk <= 5 ORDER BY grp, rk
+        """,
+        "embed_hash_docs": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            wnz AS (SELECT doc_id, w FROM w WHERE w <> ''),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+                         CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+                              THEN 1 ELSE -1 END AS sign
+                  FROM wnz),
+            s AS (SELECT doc_id, bucket, SUM(sign) AS val
+                  FROM h GROUP BY doc_id, bucket),
+            grid AS (SELECT d.doc_id, g.bucket
+                     FROM (SELECT DISTINCT doc_id FROM documents) d
+                     CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g)
+            SELECT grid.doc_id, grid.bucket,
+                   CAST(COALESCE(s.val, 0) AS BIGINT) AS val
+            FROM grid LEFT JOIN s ON grid.doc_id = s.doc_id
+                                 AND grid.bucket = s.bucket
+            ORDER BY grid.doc_id, grid.bucket
         """,
         "ngram_jaccard": """
             WITH grams AS (

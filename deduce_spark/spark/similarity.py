@@ -418,3 +418,50 @@ def lsh_topk(
                 F.col("rank").cast("long").alias("rank"),
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def feature_hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al. 2009), fully
+    native: every word maps to bucket md5(w)[:8] % dim with a ±1 sign from
+    the next hex nibble (the sign hash unbiases collisions), and the
+    embedding is the per-bucket signed count as ``array<float>`` —
+    drop-in input for ``cosine_topk`` / ``lsh_topk`` / ``ivf_topk``.
+
+    No vocabulary, no training pass, no UDF: explode + two md5-derived
+    integer expressions + one map-side-combinable groupBy, then a
+    sequence/transform rebuild of the dense vector.  md5 (not xxhash64)
+    so the DuckDB oracle replays the exact buckets; swap to xxhash64 for
+    the cheaper production hash — the plan shape is identical."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    hashed = w.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % {dim}"
+        ).cast("int").alias("bucket"),
+        F.expr(
+            "CASE WHEN cast(conv(substring(md5(w), 9, 1), 16, 10) as bigint)"
+            " % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sign"),
+    )
+    sparse = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("val")
+    )
+    return (
+        sparse.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                "i -> cast(coalesce(m[i], 0) as float))"
+            ).alias("embedding"),
+        )
+    )

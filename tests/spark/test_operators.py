@@ -372,3 +372,31 @@ class TestRealDecoders:
             if t == "audio/wav":
                 _sr, _ch, _n, rms, peak, zc = multimodal.wav_stats_one(blob)
                 assert audio[mid] == (rms, peak, zc)
+
+
+class TestFeatureHashEmbed:
+    def test_embed_feeds_ann_end_to_end(self, docs):
+        # text -> hashed embedding -> exact cosine top-1: a doc's nearest
+        # neighbour under hashed bag-of-words must be itself when duplicated
+        emb = similarity.feature_hash_embed(docs.limit(50))
+        vecs = emb.withColumnRenamed("doc_id", "vec_id")
+        dup = vecs.filter(F.col("vec_id") == 0).select(
+            F.lit(9999).alias("vec_id"), "embedding"
+        )
+        allv = vecs.union(dup)
+        top = similarity.cosine_topk(
+            allv, allv.filter(F.col("vec_id") == 9999), k=1
+        ).collect()
+        assert top[0]["neighbor_id"] == 0
+        assert abs(top[0]["cosine"] - 1.0) < 1e-9
+
+    def test_sign_balance_and_dim(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h i j k l m n o p")],
+            "doc_id long, text string",
+        )
+        row = similarity.feature_hash_embed(df, dim=16).collect()[0]
+        assert len(row["embedding"]) == 16
+        # 16 distinct words, each contributing exactly ±1 somewhere
+        assert sum(abs(int(x)) for x in row["embedding"]) <= 16
+        assert any(x != 0 for x in row["embedding"])
