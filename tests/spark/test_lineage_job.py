@@ -215,3 +215,26 @@ class TestIncrementalJob:
                     incremental=True)
         assert s.get("incremental") is True and s["parts_processed"] == 0
         assert IceTable(out / "edges").current_version() == edges_v
+
+
+def test_maintenance_compacts_and_expires_through_factory(spark, tmp_path):
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "jobs"))
+    from maintain_kg import run_maintenance
+
+    root = tmp_path / "kg_maint"
+    t = IceTable(root / "nodes")
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("p"), F.col("id").alias("k")
+    )
+    for _ in range(3):
+        t.write(df, partition_by=("p",), mode="overwrite-partitions")
+    rep = run_maintenance(
+        spark, str(root), ["nodes"], compact=True, max_files=1, expire_keep=1
+    )
+    c = rep["nodes"]["compact"]
+    assert c["files_after"] <= 3 < c["files_before"]
+    assert rep["nodes"]["expire"]["freed_bytes"] > 0
+    assert IceTable(root / "nodes").read(spark).count() == 300
+    # missing table is reported, not an error
+    rep2 = run_maintenance(spark, str(root), ["edges"], compact=True)
+    assert rep2["edges"] == {"skipped": "missing"}
