@@ -82,10 +82,67 @@ def run_job(
         if not mentions_table.exists():
             raise SystemExit(f"--kg-only: no mentions table under {out}")
         summary: dict = {"run_id": run_id, "kg_only": True}
-        return _stage_b(
+        from deduce_spark.spark.iceberg_catalog import open_table as _ot
+
+        if incremental and _ot(spark, str(out / "surface_map")).exists():
+            # streaming integration: fold only the stream batches not yet
+            # canonicalized (batch_id comes from stream_ingest's
+            # (batch_id, part_id) layout; folded ids are tracked as
+            # lineage stage records)
+            mentions_all = mentions_table.read(spark)
+            if "batch_id" not in mentions_all.columns:
+                raise SystemExit(
+                    "--kg-only --incremental needs a batch_id column "
+                    "(stream_ingest layout); batch checkpoints use "
+                    "--incremental without --kg-only"
+                )
+            folded = {
+                int(b)
+                for r in log.records()
+                if r.get("stage") == "fold_stream_batches"
+                for b in r.get("batch_ids", [])
+            }
+            present = {
+                int(r["batch_id"])
+                for r in mentions_all.select("batch_id").distinct().collect()
+            }
+            unseen = sorted(present - folded)
+            summary["batches_folded"] = unseen
+            if not unseen:
+                summary["incremental"] = True
+                summary["kg_wall_s"] = 0.0
+                return summary
+            new_mentions = mentions_all.filter(
+                F.col("batch_id").isin(unseen)
+            )
+            marker = lin.stage_record(
+                "fold_stream_batches", seq, run_id,
+                rows=0, wall_s=0.0, batch_ids=[int(b) for b in unseen],
+            )
+            return _stage_b_incremental(
+                spark, out, log, run_id, seq, mentions_table, engine,
+                with_cooccurrence, summary, new_mentions,
+                extra_records=[marker],
+            )
+        res = _stage_b(
             spark, out, log, run_id, seq, mentions_table, engine,
             with_cooccurrence, expire_keep, summary,
         )
+        cols = mentions_table.read(spark).columns
+        if "batch_id" in cols:
+            # a full rebuild canonicalizes every present batch: record them
+            # so a later --incremental run folds only NEWER ones
+            present = sorted(
+                int(r["batch_id"])
+                for r in mentions_table.read(spark)
+                .select("batch_id").distinct().collect()
+            )
+            log.append([lin.stage_record(
+                "fold_stream_batches", seq, run_id,
+                rows=0, wall_s=0.0, batch_ids=present,
+            )])
+            res["batches_folded"] = present
+        return res
     pages = lin.with_part_id(_read_pages(spark, input_path), n_parts)
     manifest_rows = [r.asDict() for r in lin.part_manifest(pages).collect()]
     # changing n_parts relabels every row: prior partitions are garbage, so
@@ -159,9 +216,12 @@ def run_job(
             summary["incremental"] = True
             summary["kg_wall_s"] = 0.0  # nothing new: stage B is a no-op
             return summary
+        new_mentions = mentions_table.read(spark).filter(
+            F.col("part_id").isin([int(p) for p in todo])
+        )
         return _stage_b_incremental(
             spark, out, log, run_id, seq, mentions_table, engine,
-            with_cooccurrence, summary, todo,
+            with_cooccurrence, summary, new_mentions,
         )
     # full (also the --incremental bootstrap when no surface_map exists yet)
     return _stage_b(
@@ -227,17 +287,16 @@ def _stage_b(
 
 def _stage_b_incremental(
     spark, out, log, run_id, seq, mentions_table, engine,
-    with_cooccurrence, summary, todo,
+    with_cooccurrence, summary, new_mentions, extra_records=(),
 ) -> dict:
-    """Fold ONLY the parts processed this run into the persisted
-    canonicalization: existing entity ids stay stable, novel surfaces
-    adopt LSH-matched entities or mint new ones, and only the new
-    mentions' triples are APPENDED to the edges table — the whole edge
-    table is never rewritten.  Assumes an append-style feed (new parts);
-    a reprocessed part double-counts mentions until the next full
-    rebuild, which is the compaction path (run without --incremental)."""
-    from pyspark.sql import functions as F
-
+    """Fold ONLY ``new_mentions`` (the parts processed this run, or the
+    stream batches not yet folded) into the persisted canonicalization:
+    existing entity ids stay stable, novel surfaces adopt LSH-matched
+    entities or mint new ones, and only the new mentions' triples are
+    APPENDED to the edges table — the whole edge table is never
+    rewritten.  Assumes an append-style feed; a reprocessed part
+    double-counts mentions until the next full rebuild, which is the
+    compaction path (run without --incremental)."""
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.iceberg_catalog import open_table
     from deduce_spark.spark.kg import (
@@ -248,9 +307,6 @@ def _stage_b_incremental(
     t0 = time.monotonic()
     sm_table = open_table(spark, str(out / "surface_map"))
     existing_sm = sm_table.read(spark)
-    new_mentions = mentions_table.read(spark).filter(
-        F.col("part_id").isin([int(p) for p in todo])
-    )
     updated_sm, nodes = incremental_canonicalize(new_mentions, existing_sm)
     link_bc = spark.sparkContext.broadcast(build_link_dicts(engine))
     nodes = link_scores(nodes, link_bc)
@@ -291,6 +347,7 @@ def _stage_b_incremental(
                 snapshot_id=edges_man["snapshot_id"],
             ),
         ]
+        + list(extra_records)
     )
     summary["kg_wall_s"] = round(wall, 3)
     summary["incremental"] = True

@@ -238,3 +238,58 @@ def test_maintenance_compacts_and_expires_through_factory(spark, tmp_path):
     # missing table is reported, not an error
     rep2 = run_maintenance(spark, str(root), ["edges"], compact=True)
     assert rep2["edges"] == {"skipped": "missing"}
+
+
+class TestStreamIncrementalFold:
+    """--kg-only --incremental over a stream-layout mentions table:
+    full build marks present batches folded; later runs fold only new
+    batch_ids; an unchanged table is a no-op."""
+
+    def _write_batch(self, spark, table, batch_id, texts):
+        import datetime as dt
+
+        ts = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+        rows = [(f"https://x.nl/{batch_id}_{i}", ts, t, "persoon",
+                 int(batch_id), i % 2)
+                for i, t in enumerate(texts)]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string, tag string, "
+                  "batch_id int, part_id int"
+        )
+        table.write(df, partition_by=("batch_id", "part_id"), mode="append")
+
+    def test_fold_only_new_batches(self, spark, engine, tmp_path):
+        out = tmp_path / "kg_stream"
+        mt = IceTable(out / "mentions")
+        self._write_batch(spark, mt, 0, ["Jan Jansen", "Piet Pietersen"])
+
+        s0 = run_job(spark, None, str(out), engine=engine, kg_only=True,
+                     incremental=True)
+        # bootstrap went through the FULL path and marked batch 0 folded
+        assert "incremental" not in s0 and s0["batches_folded"] == [0]
+        ent0 = {
+            (r["surface"], r["type"]): r["entity_id"]
+            for r in IceTable(out / "surface_map").read(spark).collect()
+        }
+
+        # same table again -> no-op, no edges snapshot
+        ev = IceTable(out / "edges").current_version()
+        s1 = run_job(spark, None, str(out), engine=engine, kg_only=True,
+                     incremental=True)
+        assert s1["incremental"] is True and s1["batches_folded"] == []
+        assert IceTable(out / "edges").current_version() == ev
+
+        # new stream batch arrives -> only batch 1 folds, entities stable
+        self._write_batch(spark, mt, 1, ["Jan Jansen", "Kees de Vries"])
+        s2 = run_job(spark, None, str(out), engine=engine, kg_only=True,
+                     incremental=True)
+        assert s2["incremental"] is True and s2["batches_folded"] == [1]
+        cur = {
+            (r["surface"], r["type"]): (r["entity_id"], r["n_mentions"])
+            for r in IceTable(out / "surface_map").read(spark).collect()
+        }
+        jj = ("jan jansen", "PERSOON")
+        assert cur[jj][0] == ent0[jj]
+        assert cur[jj][1] == 2                       # count merged
+        assert ("kees de vries", "PERSOON") in cur   # novel surface added
+        assert IceTable(out / "edges").current_version() == ev + 1  # append
