@@ -161,7 +161,9 @@ def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / f"{Path(sf_dir).name}-{_mentions_fingerprint()}"
             / "mentions.parquet"
         )
-        if not mv.exists():
+        # _SUCCESS gates against a session killed mid-write: a partial MV
+        # directory must trigger a rewrite, not be read as the full table
+        if not (mv / "_SUCCESS").exists():
             pipe = _pipeline(spark)
             pages = _pages_df(spark, sf_dir)
             pipe.mentions_long(
@@ -190,7 +192,7 @@ def _canon(spark: SparkSession, sf_dir: str):
             / f"{Path(sf_dir).name}-{_mentions_fingerprint()}"
         )
         smap_p, nodes_p = mv / "surface_map.parquet", mv / "nodes.parquet"
-        if not (smap_p.exists() and nodes_p.exists()):
+        if not ((smap_p / "_SUCCESS").exists() and (nodes_p / "_SUCCESS").exists()):
             surface_map, nodes = kg.canonicalize(_mentions(spark, sf_dir))
             surface_map.repartition(4).write.mode("overwrite").parquet(str(smap_p))
             nodes.repartition(4).write.mode("overwrite").parquet(str(nodes_p))

@@ -48,9 +48,15 @@ PHI_TAGS = ("bsn", "id", "telefoonnummer", "emailadres", "url", "leeftijd")
 
 
 def _round_spark(x: float, n: int) -> float:
-    """Spark's round(): BigDecimal(double).setScale(n, HALF_UP)."""
+    """Spark's round(): BigDecimal.valueOf(double).setScale(n, HALF_UP).
+
+    BigDecimal.valueOf goes through Double.toString — the SHORTEST
+    round-trip decimal representation — not the exact binary expansion, so
+    the replica must parse ``repr(x)`` (Python's repr is also shortest
+    round-trip, producing the same digits): Decimal(0.08335) is
+    0.0833499999999...9 and would round DOWN where Spark rounds up."""
     q = Decimal(1).scaleb(-n)
-    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _node_type(tag: str) -> str:
@@ -69,8 +75,10 @@ def _node_type(tag: str) -> str:
 
 def _normalize_surface(s: str) -> str:
     # Spark: regexp_replace(lower(trim(col)), r"\s+", " ") — trim strips
-    # only 0x20 spaces
-    return re.sub(r"\s+", " ", s.strip(" ").lower())
+    # only 0x20 spaces, and Java's \s (no UNICODE_CHARACTER_CLASS) matches
+    # ONLY [ \t\n\x0b\f\r]; Python's \s is Unicode-aware (would also eat
+    # \xa0 from &nbsp;), so the ASCII class is spelled out explicitly
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", s.strip(" ").lower())
 
 
 class _UnionFind:
@@ -406,6 +414,8 @@ def _dot32_seq(a32: np.ndarray, b32: np.ndarray) -> float:
 def golden_lsh_topk(emb: pd.DataFrame, k: int = 3) -> pd.DataFrame:
     """Replica of similarity.lsh_topk(k=3): 8 tables x 4 hyperplanes,
     max_bucket=4096, exact cosine rerank."""
+    from deduce_spark.spark.similarity import ivf_quant_scores
+
     ids = emb["vec_id"].astype("int64").to_numpy()
     mat = np.vstack([np.asarray(v, dtype=np.float32) for v in emb["embedding"]])
     planes = (
@@ -415,7 +425,8 @@ def golden_lsh_topk(emb: pd.DataFrame, k: int = 3) -> pd.DataFrame:
     weights = 1 << np.arange(4, dtype=np.int64)
     cand: dict[int, set[int]] = defaultdict(set)
     for t in range(8):
-        signs = (mat @ planes[t].T) > 0
+        # same integer-quantized sign decision as hyperplane_buckets
+        signs = ivf_quant_scores(mat, planes[t]) > 0
         buckets = signs @ weights
         by_bucket: dict[int, list[int]] = defaultdict(list)
         for vid, bk in zip(ids, buckets):

@@ -215,5 +215,36 @@ class IcebergTable:
         return out
 
     def _current_snapshot(self) -> dict:
-        snaps = self.snapshots()
-        return snaps[-1] if snaps else {}
+        """Manifest-shaped dict for the newest snapshot, so job code
+        written against the parquet impl (jobs/build_kg.py reads
+        ``man["entries"]`` for per-partition rows and
+        ``man["summary"]["added_rows"]``/``["total_rows"]``) runs
+        unchanged: entries come from the ``.files`` metadata table,
+        added-records from the snapshot summary."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self.ident}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if not rows:
+            return {"snapshot_id": None, "entries": [],
+                    "summary": {"added_rows": 0, "total_rows": 0}}
+        snap = rows[0]
+        s = dict(snap["summary"] or {})
+        entries = [
+            {
+                "partition": dict(r["partition"].asDict())
+                if r["partition"] is not None else {},
+                "rows": int(r["record_count"]),
+            }
+            for r in self.spark.sql(
+                f"SELECT partition, record_count FROM {self.ident}.files"
+            ).collect()
+        ]
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "entries": entries,
+            "summary": {
+                "added_rows": int(s.get("added-records", 0)),
+                "total_rows": int(s.get("total-records", 0)),
+            },
+        }

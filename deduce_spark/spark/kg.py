@@ -632,6 +632,11 @@ def pagerank_quantized(
             )
             .localCheckpoint(eager=False)
         )
+    # materialize the final ranks BEFORE dropping the caches: nothing in
+    # the loop is eager (lazy checkpoints), so unpersisting first would
+    # unmark adj/deg before any action populates them and every iteration
+    # would recompute the symmetrization+degree chain
+    ranks = ranks.localCheckpoint(eager=True)
     adj.unpersist()
     deg.unpersist()
     return ranks.select(F.col("src").alias("entity_id"), "rank")

@@ -307,6 +307,9 @@ def wav_stats_one(blob: bytes) -> tuple[int, int, int, int, int, int]:
     import math
 
     sample_rate, n_channels, _bits, s = decode_wav(blob)
+    # trim a truncated final frame (real crawled files cut mid-frame;
+    # decode_wav only trims to whole SAMPLES, not whole frames)
+    s = s[: len(s) - (len(s) % n_channels)]
     if len(s) == 0:
         return sample_rate, n_channels, 0, 0, 0, 0
     mono = s.reshape(-1, n_channels).sum(axis=1) // n_channels

@@ -140,7 +140,12 @@ def hyperplane_buckets(
             ids = batch[id_col].astype("int64")
             out_ids, out_tables, out_buckets = [], [], []
             for t in range(n_tables):
-                signs = (mat @ planes[t].T) > 0
+                # integer-quantized projections (see ivf_quant_scores): a
+                # float32 sgemm's rounding can depend on batch shape/BLAS
+                # kernel, and a projection within rounding of 0 would flip
+                # its bucket bit between the Arrow-batched run and the
+                # golden generator's full-matrix replay
+                signs = ivf_quant_scores(mat, planes[t]) > 0
                 buckets = signs @ weights
                 out_ids.append(ids)
                 out_tables.append(np.full(len(ids), t, dtype=np.int32))

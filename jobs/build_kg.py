@@ -211,23 +211,57 @@ def run_job(
     # -- stage B: canonicalize + triples ------------------------------------
     from deduce_spark.spark.iceberg_catalog import open_table as _ot
 
-    if incremental and _ot(spark, str(out / "surface_map")).exists():
-        if not todo:
+    # layout change relabels every part: the fold bookkeeping below is
+    # meaningless across layouts, so only the full rebuild is correct
+    if (incremental and not layout_changed
+            and _ot(spark, str(out / "surface_map")).exists()):
+        # fold every annotated-but-not-yet-folded part: normally just this
+        # run's todo, but a run that crashed between stage A's commit and
+        # the fold would otherwise leave its mentions out of the graph
+        # forever (todo would be [] on the retry)
+        folded = {
+            int(p)
+            for r in log.records()
+            if r.get("stage") == "fold_parts"
+            for p in r.get("part_ids", [])
+        }
+        # this run's todo ALWAYS refolds (their partitions were just
+        # replaced, e.g. a changed input re-annotated them); plus any part
+        # a crashed earlier run annotated but never folded
+        pending = sorted(
+            {int(p) for p in todo} | (set(log.completed()) - folded)
+        )
+        if not pending:
             summary["incremental"] = True
             summary["kg_wall_s"] = 0.0  # nothing new: stage B is a no-op
+            summary["parts_folded"] = []
             return summary
+        summary["parts_folded"] = pending
         new_mentions = mentions_table.read(spark).filter(
-            F.col("part_id").isin([int(p) for p in todo])
+            F.col("part_id").isin(pending)
+        )
+        marker = lin.stage_record(
+            "fold_parts", seq, run_id, rows=0, wall_s=0.0,
+            part_ids=pending,
         )
         return _stage_b_incremental(
             spark, out, log, run_id, seq, mentions_table, engine,
             with_cooccurrence, summary, new_mentions,
+            extra_records=[marker], expire_keep=expire_keep,
         )
-    # full (also the --incremental bootstrap when no surface_map exists yet)
-    return _stage_b(
+    # full (also the --incremental bootstrap when no surface_map exists
+    # yet, and the layout-change path); mark every completed part folded
+    # so a later --incremental run starts from here
+    res = _stage_b(
         spark, out, log, run_id, seq, mentions_table, engine,
         with_cooccurrence, expire_keep, summary,
     )
+    done = sorted(set(log.completed()))
+    if done:
+        log.append([lin.stage_record(
+            "fold_parts", seq, run_id, rows=0, wall_s=0.0, part_ids=done,
+        )])
+    return res
 
 
 def _stage_b(
@@ -279,7 +313,7 @@ def _stage_b(
     summary["edges_rows"] = edges_man["summary"]["total_rows"]
     if expire_keep:
         freed = 0
-        for t in ("mentions", "nodes", "edges"):
+        for t in ("mentions", "surface_map", "nodes", "edges"):
             freed += open_table(spark, str(out / t)).expire_snapshots(expire_keep)["freed_bytes"]
         summary["expired_freed_bytes"] = freed
     return summary
@@ -288,6 +322,7 @@ def _stage_b(
 def _stage_b_incremental(
     spark, out, log, run_id, seq, mentions_table, engine,
     with_cooccurrence, summary, new_mentions, extra_records=(),
+    expire_keep: int = 0,
 ) -> dict:
     """Fold ONLY ``new_mentions`` (the parts processed this run, or the
     stream batches not yet folded) into the persisted canonicalization:
@@ -353,6 +388,15 @@ def _stage_b_incremental(
     summary["incremental"] = True
     summary["nodes_rows"] = nodes_man["summary"]["total_rows"]
     summary["edges_rows_appended"] = edges_man["summary"]["added_rows"]
+    if expire_keep:
+        # incremental runs are exactly the append-per-run cadence that
+        # accumulates snapshots — GC must not be full-rebuild-only
+        freed = 0
+        for t in ("mentions", "surface_map", "nodes", "edges"):
+            tbl = open_table(spark, str(out / t))
+            if tbl.exists():
+                freed += tbl.expire_snapshots(expire_keep)["freed_bytes"]
+        summary["expired_freed_bytes"] = freed
     return summary
 
 
