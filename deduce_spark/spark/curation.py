@@ -19,6 +19,7 @@ def decontam_overlap(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_grams: int = 5_000_000,
 ) -> DataFrame:
     """Per-document benchmark-contamination score: the fraction (permille)
     of the document's word ``n``-grams that appear in ANY benchmark text.
@@ -30,6 +31,13 @@ def decontam_overlap(
     over training docs is one explode + broadcast semi-join + count —
     no shuffle of the big side at all.  Exact-integer permille keeps the
     value hash stable across engines.
+
+    ``broadcast_max_grams`` guards the broadcast: a caller who passes a
+    mega-"benchmark" (say, another training corpus for cross-corpus
+    overlap) would OOM every executor with an unconditional broadcast.
+    Above the gate the join downgrades to a shuffled left-semi join —
+    AQE still picks the cheapest physical join, and correctness is
+    unchanged; only the no-shuffle fast path is lost.
     """
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
         words = f"split({text_col}, ' ')"
@@ -42,10 +50,14 @@ def decontam_overlap(
         return df.select(*cols, F.explode(F.expr(g)).alias("gram"))
 
     bench_grams = grams(benchmark, keep_id=False).distinct()
+    # count-gate the broadcast (cheap: count of a distinct-aggregated
+    # small side); oversized benchmarks fall back to a shuffled semi-join
+    if bench_grams.count() <= broadcast_max_grams:
+        bench_grams = F.broadcast(bench_grams)
     doc_grams = grams(docs, keep_id=True)
     totals = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        doc_grams.join(bench_grams, "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -68,6 +80,7 @@ def sample_per_group(
     group_col: str,
     k: int,
     id_col: str = "doc_id",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Deterministic stratified sample: the ``k`` rows per group with the
     smallest ``md5(id)`` — a uniform pseudo-random draw that every
@@ -77,15 +90,31 @@ def sample_per_group(
     a production mix would use the cheaper ``F.xxhash64`` — the plan shape
     is identical.)
 
-    One hash + one windowed rank per group; the window partitions by the
-    group key so skewed groups parallelize across their own partitions'
-    sort, and no global sort or collect exists anywhere."""
-    w = Window.partitionBy(group_col).orderBy("h", id_col)
+    Scale shape — salted partial top-k, then a bounded global re-rank:
+    a single ``Window.partitionBy(group)`` executes each group's sort on
+    ONE task, so a dominant group (e.g. lang='en' ≈ most of the web)
+    serializes at 10^12 docs.  Instead:
+
+    1. phase 1 ranks within (group, salt) — ``salt_buckets`` tasks per
+       group — keeping at most ``k`` rows per salt bucket;
+    2. phase 2 re-ranks the ≤ k·salt_buckets survivors per group — a
+       per-group window again, but over a BOUNDED row count that is
+       independent of corpus size, so the single task per group touches
+       at most k·salt_buckets rows no matter how skewed the input.
+
+    A group's true top-k all survive phase 1 (each ranks ≤ k inside its
+    own salt bucket), so the result is identical to the direct window."""
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(group_col, "salt").orderBy("h", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("h", id_col)
     return (
         df.withColumn("h", F.md5(F.col(id_col).cast("string")))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("salt", salt)
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= k)
+        .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
-        .drop("h", "rk")
+        .drop("h", "salt", "rk1", "rk")
     )
 
 
@@ -104,9 +133,22 @@ def token_budget_mix(
 
     This is how training mixes are assembled ("100B tokens web, 20B code,
     5B wiki"): deterministic hash order de-biases the take (no
-    crawl-order artifacts), the running sum is one window per source, and
-    the budget map rides along as a broadcast literal — at 10^12 docs this
-    is a single shuffle by source with skew bounded by the window sort."""
+    crawl-order artifacts) and the budget map rides along as a broadcast
+    literal.
+
+    Scale shape — two-phase prefix sums: a single
+    ``Window.partitionBy(source)`` running sum executes each source on ONE
+    task, so the dominant source serializes at 10^12 docs.  Instead the
+    hash order is range-bucketed by the first two hex chars of ``h`` (256
+    buckets whose lexicographic order coarsens the (h, id) sort order):
+
+    1. within-(source, bucket) running sums — 256 tasks per source;
+    2. per-(source, bucket) totals — a tiny source×256-row table whose
+       cumulative-offset window costs nothing and broadcasts back;
+    3. global running = bucket offset + within-bucket running, and the
+       budget cutoff stays a row-local predicate.
+
+    The result is row-identical to one global per-source prefix sum."""
     spark = docs.sparkSession
     budget_df = F.broadcast(
         spark.createDataFrame(
@@ -114,19 +156,35 @@ def token_budget_mix(
             f"{group_col} string, budget long",
         )
     )
-    w = (
-        Window.partitionBy(group_col)
+    hashed = docs.withColumn(
+        "h", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    w_in = (
+        Window.partitionBy(group_col, "bkt")
         .orderBy("h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # per-(source, bucket) totals -> exclusive cumulative offset per bucket.
+    # This aggregate is at most |sources|*256 rows, so its per-source
+    # window is trivially cheap regardless of corpus size.
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = F.broadcast(
+        hashed.groupBy(group_col, "bkt")
+        .agg(F.sum(tokens_col).alias("bkt_total"))
+        .withColumn("offset", F.coalesce(F.sum("bkt_total").over(w_off), F.lit(0)))
+        .drop("bkt_total")
+    )
     return (
-        docs.withColumn("h", F.md5(F.col(id_col).cast("string")))
-        .withColumn("running", F.sum(tokens_col).over(w))
+        hashed.withColumn("running_in", F.sum(tokens_col).over(w_in))
+        .join(offsets, [group_col, "bkt"])
+        .withColumn("running", F.col("offset") + F.col("running_in"))
         .join(budget_df, group_col)
-        .filter(
-            (F.col("running") - F.col(tokens_col)) < F.col("budget")
-        )
-        .drop("h", "budget")
+        .filter((F.col("running") - F.col(tokens_col)) < F.col("budget"))
+        .drop("h", "bkt", "running_in", "offset", "budget")
     )
 
 
@@ -150,7 +208,9 @@ def corpus_filter(
     same map-side-combinable shuffles as exact_dedup, no new pattern."""
     from deduce_spark.spark.textstats import repetition_stats
 
-    rep = repetition_stats(docs.select(id_col, text_col), text_col)
+    rep = repetition_stats(
+        docs.select(id_col, text_col), text_col, id_col=id_col
+    )
     dup_w = Window.partitionBy(F.md5(F.col(text_col)))
     dup = docs.select(
         F.col(id_col).alias("doc_id"),

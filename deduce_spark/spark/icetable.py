@@ -121,18 +121,36 @@ def _hive_unescape(v: str) -> str:
     (percent-encodes ':', '=', '#', control chars, ...), so manifest values
     parsed from directory names are escaped.  Comparisons against values
     taken from a DataFrame must unescape first — a timestamp partition
-    '2024-01-01 00:00:00' lives on disk as '2024-01-01 00%3A00%3A00'."""
+    '2024-01-01 00:00:00' lives on disk as '2024-01-01 00%3A00%3A00'.
+
+    Hive escapes per UTF-8 BYTE, so consecutive %XX runs are one encoded
+    byte string: decoding each %XX independently via chr() mangles any
+    non-ASCII partition value (e.g. 'café' -> '%C3%A9' must become 'é',
+    not 'Ã©').  Mirrors ExternalCatalogUtils.unescapePathName: collect the
+    run, decode as UTF-8 once, fall back to the raw text if invalid."""
     if "%" not in v:
         return v
-    out, i = [], 0
+    out: list[str] = []
+    i = 0
     while i < len(v):
         if v[i] == "%" and i + 3 <= len(v):
-            try:
-                out.append(chr(int(v[i + 1 : i + 3], 16)))
-                i += 3
+            # collect the maximal run of %XX byte escapes, decode once
+            buf = bytearray()
+            j = i
+            while j + 3 <= len(v) and v[j] == "%":
+                try:
+                    buf.append(int(v[j + 1 : j + 3], 16))
+                except ValueError:
+                    break
+                j += 3
+            if buf:
+                try:
+                    out.append(buf.decode("utf-8"))
+                except UnicodeDecodeError:
+                    # not valid UTF-8: keep the raw escaped text verbatim
+                    out.append(v[i:j])
+                i = j
                 continue
-            except ValueError:
-                pass
         out.append(v[i])
         i += 1
     return "".join(out)

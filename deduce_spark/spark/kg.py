@@ -847,3 +847,135 @@ def incremental_canonicalize(
     novel.unpersist()
     nsigs.unpersist()
     return updated_sm, nodes_from_surface_map(updated_sm)
+
+
+# ---------------------------------------------------------------------------
+# compaction: converge incremental entity splits back to the batch labels
+# ---------------------------------------------------------------------------
+
+
+def compact_canonicalize(
+    surface_map: DataFrame,
+    fuzzy_types: tuple[str, ...] = FUZZY_TYPES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Periodic entity-merge compaction over an accumulated surface map.
+
+    ``incremental_canonicalize`` never merges two EXISTING entities (a new
+    surface similar to both adopts the minimum — the documented ingest
+    caveat), so a stream of increments can leave one real-world entity
+    split across several ids.  Compaction re-runs the BATCH
+    canonicalization rules (same signatures, banding, verify threshold,
+    connected components) over the full surface inventory and returns
+
+        (new_surface_map, new_nodes, id_map)
+
+    where ``id_map`` is (old_entity_id, new_entity_id): every old id maps
+    to the single batch component that now contains all its surfaces.
+    Incremental assignments only ever link surfaces the batch rules also
+    link (adoption uses the same est-jaccard verify), so an old entity's
+    surfaces always land in ONE new component — asserted cheaply below,
+    because a violation (possible only if bucket caps truncated different
+    pairs across runs) would silently corrupt downstream joins.
+
+    Persist ``id_map`` next to the KG tables and remap edge tables with
+    ``remap_triples`` so historical triples stay joinable.  Scale shape:
+    identical to ``canonicalize`` (the LSH + CC path is the scale-proven
+    one); id_map is one extra groupBy over the surface map.
+    """
+    surf = surface_map.select(
+        "surface", "type", "n_mentions", "surface_id",
+        F.col("entity_id").alias("old_entity_id"),
+    ).cache()
+    fuzzy = surf.filter(F.col("type").isin(*fuzzy_types))
+    sigs = surface_signatures(
+        fuzzy.select("surface_id", "type", "surface")
+    ).cache()
+    pairs = candidate_pairs(sigs)
+    comp = connected_components(pairs)
+    new_sm = (
+        surf.join(comp, "surface_id", "left")
+        .withColumn("entity_id", F.coalesce("component", "surface_id"))
+        .drop("component")
+    ).cache()
+    id_map = (
+        new_sm.groupBy("old_entity_id")
+        .agg(
+            F.min("entity_id").alias("new_entity_id"),
+            F.countDistinct("entity_id").alias("n_new"),
+        )
+    ).cache()
+    n_split = id_map.filter(F.col("n_new") > 1).count()
+    if n_split:
+        raise RuntimeError(
+            f"compaction split {n_split} existing entities across batch "
+            "components (bucket-cap truncation differed between runs); "
+            "refusing to emit an ambiguous id_map"
+        )
+    id_map = id_map.select("old_entity_id", "new_entity_id")
+    # same column order canonicalize() emits (join key first)
+    out_sm = new_sm.select(
+        "surface_id", "surface", "type", "n_mentions", "entity_id"
+    )
+    return out_sm, nodes_from_surface_map(out_sm), id_map
+
+
+def remap_triples(triples_df: DataFrame, id_map: DataFrame) -> DataFrame:
+    """Rewrite entity ids in a triple table through a compaction id_map.
+
+    Column-aware per predicate family: ``subj`` is an entity id for
+    hasType / hasSurfaceForm / coOccursWith (url for mentions /
+    publishedAt); ``obj`` is an entity id for mentions / coOccursWith.
+    Ids missing from the map (never-compacted entities) pass through.
+
+    Two left joins keyed on a cast entity id — at KG scale the id_map is
+    entity-count sized, so this stays a shuffled hash join (no broadcast
+    assumption); row count and non-id columns are untouched."""
+    m = id_map.select(
+        F.col("old_entity_id").cast("string").alias("old_id"),
+        F.col("new_entity_id").cast("string").alias("new_id"),
+    )
+    subj_is_entity = F.col("pred").isin("hasType", "hasSurfaceForm", "coOccursWith")
+    obj_is_entity = F.col("pred").isin("mentions", "coOccursWith")
+    out = (
+        triples_df.withColumn(
+            "subj_key", F.when(subj_is_entity, F.col("subj"))
+        )
+        .withColumn("obj_key", F.when(obj_is_entity, F.col("obj")))
+        .join(
+            m.withColumnRenamed("old_id", "subj_key")
+            .withColumnRenamed("new_id", "subj_new"),
+            "subj_key", "left",
+        )
+        .join(
+            m.withColumnRenamed("old_id", "obj_key")
+            .withColumnRenamed("new_id", "obj_new"),
+            "obj_key", "left",
+        )
+        .withColumn("subj", F.coalesce("subj_new", "subj"))
+        .withColumn("obj", F.coalesce("obj_new", "obj"))
+        .drop("subj_key", "obj_key", "subj_new", "obj_new")
+    )
+    # merging two co-mentioned entities can leave a coOccursWith edge as a
+    # self-loop (drop) or flip the a<b ordering / collapse two page edges
+    # into byte-identical rows (normalize + distinct).  Non-cooc families
+    # are unaffected by the reorder (their subj/obj never merge pairwise);
+    # distinct() is a no-op for them by construction.
+    is_cooc = F.col("pred") == "coOccursWith"
+    a, b = F.col("subj").cast("long"), F.col("obj").cast("long")
+    out = (
+        out.filter(~(is_cooc & (F.col("subj") == F.col("obj"))))
+        .withColumn(
+            "subj2",
+            F.when(is_cooc, F.least(a, b).cast("string")).otherwise(F.col("subj")),
+        )
+        .withColumn(
+            "obj2",
+            F.when(is_cooc, F.greatest(a, b).cast("string")).otherwise(F.col("obj")),
+        )
+        .drop("subj", "obj")
+        .withColumnRenamed("subj2", "subj")
+        .withColumnRenamed("obj2", "obj")
+        .select(*triples_df.columns)
+        .distinct()
+    )
+    return out

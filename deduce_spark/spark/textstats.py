@@ -136,17 +136,21 @@ def winnow_doc(text: str, k: int = 8, window: int = 4) -> list[int]:
     golden-fixture generator replays the EXACT kernel outside Spark)."""
     import numpy as np
 
-    base = np.uint64(1000003)
-    mod_mask = np.uint64((1 << 61) - 1)
-    data = np.frombuffer(
-        text.lower().encode("utf-8", "replace"), dtype=np.uint8
-    ).astype(np.uint64)
+    # Arbitrary-precision Python ints with an explicit 61-bit mask: for any
+    # integer x (negative included), ``x & mod_mask`` is x mod 2^61 — the
+    # same residue the previous uint64 wraparound produced (mod 2^64
+    # preserves the low 61 bits), so fingerprints are value-identical, but
+    # the wraparound is now explicit instead of a numpy overflow warning.
+    base = 1000003
+    mod_mask = (1 << 61) - 1
+    raw = text.lower().encode("utf-8", "replace")
+    data = list(raw)
     if len(data) < k:
-        return [int(data.sum())] if len(data) else []
+        return [sum(data)] if data else []
     # rolling hash over k-grams
     n = len(data) - k + 1
     h = np.zeros(n, dtype=np.uint64)
-    acc = np.uint64(0)
+    acc = 0
     for j in range(k):
         acc = (acc * base + data[j]) & mod_mask
     h[0] = acc
@@ -222,7 +226,9 @@ def paragraph_dedup(
     )
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Gopher-style repetition signals, exact-integer ratios, no UDF.
 
     Per document:
@@ -232,7 +238,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
       dup_bigram_permille floor(1000 * (bigrams - distinct bigrams) /
                          bigrams) — text that loops on itself
     Integer DIV keeps Spark and the DuckDB oracle bit-identical (float
-    rounding at a boundary would flip the driver's value hash)."""
+    rounding at a boundary would flip the driver's value hash).
+
+    Output id column is always named ``doc_id`` (aliased from ``id_col``),
+    matching corpus_filter's join expectations."""
+    if id_col != "doc_id":
+        df = df.select(F.col(id_col).alias("doc_id"), text_col)
     words = f"split({text_col}, ' ')"
     bigrams = (
         f"case when size({words}) < 2 then array() "

@@ -122,7 +122,7 @@ def run_job(
             return _stage_b_incremental(
                 spark, out, log, run_id, seq, mentions_table, engine,
                 with_cooccurrence, summary, new_mentions,
-                extra_records=[marker],
+                extra_records=[marker], expire_keep=expire_keep,
             )
         res = _stage_b(
             spark, out, log, run_id, seq, mentions_table, engine,

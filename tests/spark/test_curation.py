@@ -145,3 +145,97 @@ class TestDistinctiveTerms:
         # 'fiets' tf=3 df=1 -> 3e6; beats shared 'kaas' (tf=1 df=2 -> 5e5)
         assert top[("nl", 1)] == ("fiets", 3_000_000)
         assert top[("en", 1)] == ("bike", 3_000_000)
+
+
+class TestScaleShapes:
+    """Round-3 reshape: no per-group window may process a whole group on
+    one task.  Assert the physical plan's window partition specs include
+    the salt/bucket columns (more than one task per group), and that the
+    outputs are unchanged vs a direct single-window computation."""
+
+    def test_sample_per_group_salted_plan(self, spark):
+        df = spark.createDataFrame(
+            [(i, "g" + str(i % 2)) for i in range(40)],
+            "doc_id long, grp string",
+        )
+        out = curation.sample_per_group(df, "grp", 3, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # phase-1 window partitions by (grp, salt): the salt column must
+        # appear in a Window node's partition spec
+        assert "salt" in plan and plan.count("Window") >= 2
+        # equivalence vs the naive single window
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("grp").orderBy("h", "doc_id")
+        naive = (
+            df.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "grp")
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+
+    def test_token_budget_mix_bucketed_plan(self, spark):
+        rows = [(i, "s" + str(i % 2), 7) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+        budgets = {"s0": 100, "s1": 50}
+        out = curation.token_budget_mix(df, budgets)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # within-bucket running sum partitions by (source, bkt)
+        assert "bkt" in plan
+        # equivalence vs the naive single-window prefix sum
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("source")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bdf = spark.createDataFrame(
+            [(s, b) for s, b in budgets.items()], "source string, budget long"
+        )
+        naive = (
+            df.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+            .withColumn("running", F.sum("n_tokens").over(w))
+            .join(bdf, "source")
+            .filter((F.col("running") - F.col("n_tokens")) < F.col("budget"))
+            .select("doc_id", "source", "n_tokens", "running")
+        )
+        got = sorted(
+            (r["doc_id"], r["source"], r["n_tokens"], r["running"])
+            for r in out.select("doc_id", "source", "n_tokens", "running").collect()
+        )
+        want = sorted(map(tuple, naive.collect()))
+        assert got == want
+
+
+class TestDecontamBroadcastGate:
+    def test_oversized_benchmark_falls_back_to_shuffle(self, spark):
+        ten = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        docs = spark.createDataFrame(
+            [(0, ten), (1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        bench = docs.filter(F.col("doc_id") == 0)
+        # gate of 1 gram forces the fallback path (bench has 3 grams)
+        out = curation.decontam_overlap(docs, bench, n=8, broadcast_max_grams=1)
+        # above the gate no broadcast HINT is attached (AQE may still pick
+        # a broadcast physical join for a genuinely small side — the
+        # invariant is the absence of the unconditional hint, i.e. the
+        # logical plan carries no ResolvedHint)
+        logical = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical
+        # values identical to the broadcast path
+        base = {
+            (r["doc_id"], r["n_grams"], r["n_hits"], r["contam_permille"])
+            for r in curation.decontam_overlap(docs, bench, n=8).collect()
+        }
+        got = {
+            (r["doc_id"], r["n_grams"], r["n_hits"], r["contam_permille"])
+            for r in out.collect()
+        }
+        assert got == base
+        assert (0, 3, 3, 1000) in got

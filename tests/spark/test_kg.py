@@ -292,3 +292,125 @@ class TestIncrementalCanonicalize:
         )
         sm1, n1 = incremental_canonicalize(empty, sm0)
         assert sorted(map(tuple, sm1.collect())) == sorted(map(tuple, sm0.collect()))
+
+
+class TestCompaction:
+    """Entity-merge compaction: incremental ingest never merges EXISTING
+    entities (documented caveat), so a bridge surface arriving late leaves
+    one real entity split in two.  compact_canonicalize re-runs the batch
+    rules and emits an old->new id map that converges the split."""
+
+    # est-jaccard chain (verified against surface_sig):
+    #   X~Z = 0.812, Z~Y = 0.766 (both >= 0.7), X~Y = 0.641 (< 0.7)
+    X = "Sint Anna Hospitaal"
+    Z = "Sint Anna Hospitaal Delft"
+    Y = "Sint Anna Hospitaal Delft West"
+
+    def _mentions(self, spark, rows):
+        return spark.createDataFrame(rows, "text string, tag string")
+
+    def _split_map(self, spark):
+        from deduce_spark.spark.kg import canonicalize, incremental_canonicalize
+
+        sm0, _ = canonicalize(
+            self._mentions(spark, [(self.X, "ziekenhuis")])
+        )
+        # Y is not similar enough to X -> own entity
+        sm1, _ = incremental_canonicalize(
+            self._mentions(spark, [(self.Y, "ziekenhuis")]), sm0
+        )
+        # Z bridges X and Y but adopts only the minimum entity -> split
+        sm2, _ = incremental_canonicalize(
+            self._mentions(spark, [(self.Z, "ziekenhuis")]), sm1
+        )
+        return sm2
+
+    def test_compaction_converges_split(self, spark):
+        from deduce_spark.spark.kg import canonicalize, compact_canonicalize
+
+        sm2 = self._split_map(spark)
+        ents = {r["surface"]: r["entity_id"] for r in sm2.collect()}
+        assert len(set(ents.values())) == 2  # the split exists pre-compaction
+
+        new_sm, new_nodes, id_map = compact_canonicalize(sm2)
+        got = {r["surface"]: r["entity_id"] for r in new_sm.collect()}
+        assert len(set(got.values())) == 1  # converged to one entity
+
+        # batch path over ALL mentions gives the same labels
+        batch_sm, _ = canonicalize(
+            self._mentions(
+                spark,
+                [(self.X, "ziekenhuis"), (self.Y, "ziekenhuis"),
+                 (self.Z, "ziekenhuis")],
+            )
+        )
+        batch = {r["surface"]: r["entity_id"] for r in batch_sm.collect()}
+        assert got == batch
+
+        # id_map covers both old entities and sends them to the one new id
+        mapping = {
+            r["old_entity_id"]: r["new_entity_id"] for r in id_map.collect()
+        }
+        assert set(mapping.keys()) == set(ents.values())
+        assert set(mapping.values()) == set(got.values())
+
+        # n_mentions preserved through compaction
+        n = {r["surface"]: r["n_mentions"] for r in new_sm.collect()}
+        assert n == {r["surface"]: r["n_mentions"] for r in sm2.collect()}
+        # nodes table consistent with the compacted map
+        node_rows = new_nodes.collect()
+        assert len(node_rows) == 1
+        assert node_rows[0]["n_mentions"] == 3
+
+    def test_remap_triples(self, spark):
+        from deduce_spark.spark.kg import compact_canonicalize, remap_triples
+
+        sm2 = self._split_map(spark)
+        ents = {r["surface"]: r["entity_id"] for r in sm2.collect()}
+        e_ids = sorted(set(ents.values()))
+        e1, e2 = str(e_ids[0]), str(e_ids[1])
+        _, _, id_map = compact_canonicalize(sm2)
+
+        triples = spark.createDataFrame(
+            [
+                ("http://a/", "mentions", e1, "http://a/", "t0"),
+                ("http://a/", "mentions", e2, "http://a/", "t0"),
+                (e1, "hasType", "INSTELLING", "http://a/", "t0"),
+                (e2, "hasType", "INSTELLING", "http://a/", "t0"),
+                (min(e1, e2, key=int), "coOccursWith",
+                 max(e1, e2, key=int), "http://a/", "t0"),
+                ("http://a/", "publishedAt", "t0", "http://a/", "t0"),
+            ],
+            "subj string, pred string, obj string, url string, warc_ts string",
+        )
+        out = remap_triples(triples, id_map)
+        rows = {tuple(r) for r in out.collect()}
+        new_id = str(
+            id_map.select("new_entity_id").distinct().collect()[0][0]
+        )
+        # both mentions rows collapse onto the merged entity (distinct)
+        assert ("http://a/", "mentions", new_id, "http://a/", "t0") in rows
+        # hasType rows collapse to one
+        assert (new_id, "hasType", "INSTELLING", "http://a/", "t0") in rows
+        # the cooc edge became a self-loop -> dropped
+        assert not any(r[1] == "coOccursWith" for r in rows)
+        # url-subject families untouched
+        assert ("http://a/", "publishedAt", "t0", "http://a/", "t0") in rows
+        assert len(rows) == 3
+
+    def test_compaction_identity_when_no_split(self, spark):
+        from deduce_spark.spark.kg import canonicalize, compact_canonicalize
+
+        sm0, _ = canonicalize(
+            self._mentions(
+                spark, [(self.X, "ziekenhuis"), ("Utrecht", "locatie")]
+            )
+        )
+        new_sm, _, id_map = compact_canonicalize(sm0)
+        assert sorted(map(tuple, new_sm.collect())) == sorted(
+            map(tuple, sm0.collect())
+        )
+        mapping = {
+            r["old_entity_id"]: r["new_entity_id"] for r in id_map.collect()
+        }
+        assert all(k == v for k, v in mapping.items())
