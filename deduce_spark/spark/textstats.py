@@ -279,3 +279,82 @@ def repetition_stats(
             ).alias("dup_bigram_permille"),
         )
     )
+
+
+def exact_substr_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    stride: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): detect
+    character spans that occur verbatim in more than one document.
+
+    Instead of a suffix array (which needs a global sort of every suffix —
+    a genuinely different infrastructure), this uses CONTENT-DEFINED gram
+    sampling: every ``k``-char window whose hash is ≡ 0 (mod ``stride``)
+    is selected.  Selection depends only on the gram's BYTES, never on its
+    position, so two copies of a span at different offsets select the
+    IDENTICAL grams — the alignment problem that breaks naive
+    fixed-stride sampling.  A duplicated span is detected iff it contains
+    at least one selected window, a property of its content (expected
+    density 1/stride, deterministic per span; same idea as 0-mod-p
+    winnowing).
+
+    Output per document: n_grams selected, n_dup_grams (selected grams
+    shared with at least one OTHER document), dup_permille
+    (integer, engine-exact).
+
+    Scale shape: per-row selection is an int-array filter (no k× text
+    blowup — grams materialize only for selected positions), then the
+    same two md5-keyed map-combinable shuffles as paragraph_dedup.  The
+    selection hash is md5-derived so DuckDB replays it exactly; a
+    production run would swap in the cheaper rolling hash from the
+    winnowing kernel — the orchestration is identical."""
+    h = (
+        f"CAST(conv(substring(md5(substring({text_col}, i + 1, {k})), 1, 8), "
+        f"16, 10) AS BIGINT)"
+    )
+    sel = (
+        f"CASE WHEN length({text_col}) < {k} THEN array() "
+        f"ELSE filter(sequence(0, length({text_col}) - {k}), "
+        f"i -> {h} % {stride} = 0) END"
+    )
+    n_grams_expr = f"size({sel})"
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform({sel}, i -> substring({text_col}, i + 1, {k}))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gh"))
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gh")
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(n_grams_expr).cast("long").alias("n_grams"),
+    )
+    dups = (
+        grams.join(shared, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        totals.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.expr(
+                "CASE WHEN n_grams = 0 THEN 0 "
+                "ELSE (1000 * coalesce(n_dup_grams, 0)) DIV n_grams END"
+            ).cast("long").alias("dup_permille"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""URL canonicalization for web-crawl pipelines, fully native.
+
+Common-Crawl-style processing needs URLs normalized BEFORE any url-keyed
+dedup or grouping, otherwise `http://Example.com/a?utm_source=x#f` and
+`https://example.com/a` count as different pages.  All transformations are
+built from `pyspark.sql.functions` (regexp / split / filter / array_join),
+stay inside whole-stage codegen, and have exact DuckDB twins — no UDF, so
+canonicalization adds zero Python cost to a 10^12-row scan.
+
+Canonical form applied by :func:`canonicalize_url`:
+
+- scheme and host lowercased; ``www.`` prefix dropped from the host;
+- default ports stripped (``:80`` for http, ``:443`` for https);
+- fragment removed;
+- tracking query parameters removed (``utm_*``, ``fbclid``, ``gclid``,
+  ``msclkid``, ``ref``), remaining parameters sorted for a stable order;
+- trailing ``?`` dropped when no parameters survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (no port, no ``www.`` prefix)."""
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def canonicalize_url(col: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    raw_host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda kv: (kv != "") & ~kv.rlike(_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    norm_host = F.when(scheme == "http", F.regexp_replace(raw_host, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(raw_host, r":443$", "")) \
+        .otherwise(raw_host)
+    norm_host = F.regexp_replace(norm_host, r"^www\.", "")
+    norm_path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        scheme, F.lit("://"), norm_host, norm_path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+def url_host_oracle_sql(url_expr: str) -> str:
+    """DuckDB scalar expression equivalent to :func:`url_host`."""
+    host = f"lower(coalesce(regexp_extract({url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), ''))"
+    return (
+        f"regexp_replace(regexp_replace({host}, ':[0-9]+$', ''), '^www\\.', '')"
+    )
+
+
+def canonical_url_oracle_sql(url_expr: str) -> str:
+    """DuckDB scalar expression equivalent to :func:`canonicalize_url`
+    applied to ``url_expr`` (RE2-portable regexes, list_* functions)."""
+    # DuckDB regexp_extract yields NULL on no-match where Spark yields '':
+    # coalesce each extraction so the two engines agree byte-for-byte
+    scheme = f"lower(coalesce(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), ''))"
+    raw_host = f"lower(coalesce(regexp_extract({url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), ''))"
+    host = (
+        f"regexp_replace(CASE WHEN {scheme} = 'http' THEN regexp_replace({raw_host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({raw_host}, ':443$', '') "
+        f"ELSE {raw_host} END, '^www\\.', '')"
+    )
+    path = f"coalesce(regexp_extract({url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
+    query = f"coalesce(regexp_extract({url_expr}, '\\?([^#]*)', 1), '')"
+    # array_to_string([]) is NULL in DuckDB (Spark's array_join gives '')
+    kept = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"kv -> kv <> '' AND NOT regexp_matches(kv, '{_TRACKING_RE}'))), '&'), '')"
+    )
+    return (
+        f"({scheme} || '://' || {host} || "
+        f"CASE WHEN {path} = '' THEN '/' ELSE {path} END || "
+        f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END)"
+    )

@@ -1,0 +1,152 @@
+"""Round-3 operators: HLL register sketches, exact-substring dup
+accounting, URL canonicalization."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from deduce_spark.spark.sketches import hll_estimate, hll_oracle_sql, hll_registers
+from deduce_spark.spark.textstats import exact_substr_dup
+from deduce_spark.spark.weburl import (
+    canonical_url_oracle_sql, canonicalize_url, url_host, url_host_oracle_sql,
+)
+
+
+class TestHLL:
+    def test_registers_match_duckdb(self, spark):
+        df = spark.range(0, 5000).select(
+            F.concat(F.lit("v"), (F.col("id") % 1000).cast("string")).alias("v")
+        )
+        got = sorted(
+            (r["bucket"], r["max_rho"])
+            for r in hll_registers(df, "v", p=7).collect()
+        )
+        duck = duckdb.connect()
+        src = "SELECT 'v' || CAST(range % 1000 AS VARCHAR) AS v FROM range(5000)"
+        want = sorted(
+            map(tuple, duck.sql(hll_oracle_sql(src, "v", p=7)).fetchall())
+        )
+        assert got == want
+
+    def test_estimate_within_hll_error(self, spark):
+        # p=9 -> sigma ~ 1.04/sqrt(512) ~ 4.6%; assert within 3 sigma
+        n = 20000
+        df = spark.range(0, 3 * n).select(
+            (F.col("id") % n).cast("string").alias("v")
+        )
+        regs = [
+            (r["bucket"], r["max_rho"])
+            for r in hll_registers(df, "v", p=9).collect()
+        ]
+        est = hll_estimate(regs, p=9)
+        assert abs(est - n) / n < 0.14
+
+    def test_registers_mergeable(self, spark):
+        # union-then-sketch == sketch-then-max (the mergeability property
+        # that lets 10^12-row corpora sketch per-partition)
+        a = spark.range(0, 400).select(F.col("id").cast("string").alias("v"))
+        b = spark.range(200, 700).select(F.col("id").cast("string").alias("v"))
+        whole = sorted(
+            map(tuple, hll_registers(a.union(b), "v", p=6).collect())
+        )
+        merged = sorted(
+            map(
+                tuple,
+                hll_registers(a, "v", p=6)
+                .unionByName(hll_registers(b, "v", p=6))
+                .groupBy("bucket")
+                .agg(F.max("max_rho").alias("max_rho"))
+                .collect(),
+            )
+        )
+        assert whole == merged
+
+    def test_p_bounds(self, spark):
+        df = spark.range(1).select(F.col("id").cast("string").alias("v"))
+        with pytest.raises(ValueError):
+            hll_registers(df, "v", p=3)
+
+
+class TestExactSubstrDup:
+    def test_detects_verbatim_span(self, spark):
+        shared = "x" * 30 + "SHARED-SPAN-" + "y" * 40  # > k+stride-1 chars
+        docs = spark.createDataFrame(
+            [
+                (0, "A" * 20 + shared + "B" * 20),
+                (1, "C" * 35 + shared + "D" * 5),
+                (2, "unique " * 30),
+                (3, "tiny"),  # < k chars -> 0 grams
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_permille"])
+            for r in exact_substr_dup(docs, k=50, stride=10).collect()
+        }
+        assert out[0][1] > 0 and out[1][1] > 0  # both copies flagged
+        assert out[2] == (out[2][0], 0, 0)
+        assert out[3] == (0, 0, 0)
+
+    def test_alignment_independence(self, spark):
+        # content-defined sampling: a span whose content contains selected
+        # windows (verified offline: offsets 0, 5, 10 for this string at
+        # k=20, stride=5) is detected at EVERY document offset — the
+        # guarantee fixed-stride sampling cannot give
+        k, s = 20, 5
+        span = "FCGABBFADABGGBDBGABDAGADACEGCB"
+        rows = [(i, "a" * i + span + "b" * (60 - i)) for i in range(10)]
+        rows.append((99, "c" * 40 + span + "d" * 40))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["n_dup_grams"]
+            for r in exact_substr_dup(docs, k=k, stride=s).collect()
+        }
+        assert all(v > 0 for v in out.values())
+
+
+class TestWebUrl:
+    CASES = [
+        "HTTP://WWW.Example.com:80/Path/Page?b=2&utm_source=x&a=1#frag",
+        "https://example.com:443/",
+        "https://sub.example.co.uk/x?fbclid=abc",
+        "http://example.com",
+        "https://example.com/a?z=9&y=8&gclid=1&ref=h",
+        "ftp://Files.example.com:21/pub",
+        "https://example.com/search?q=a+b&utm_campaign=c",
+        "http://www.x.org:8080/y?p=1#z",
+        "https://example.com/?utm_medium=m",
+    ]
+
+    def test_canonicalize_values(self, spark):
+        df = spark.createDataFrame([(u,) for u in self.CASES], "url string")
+        got = dict(
+            zip(
+                self.CASES,
+                [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()],
+            )
+        )
+        assert got[self.CASES[0]] == "http://example.com/Path/Page?a=1&b=2"
+        assert got[self.CASES[1]] == "https://example.com/"
+        assert got[self.CASES[3]] == "http://example.com/"
+        assert got[self.CASES[5]] == "ftp://files.example.com:21/pub"
+        assert got[self.CASES[7]] == "http://x.org:8080/y?p=1"
+        assert got[self.CASES[8]] == "https://example.com/"
+
+    def test_matches_duckdb_twin(self, spark):
+        df = spark.createDataFrame([(u,) for u in self.CASES], "url string")
+        got = [
+            (r[0], r[1])
+            for r in df.select(
+                canonicalize_url(F.col("url")), url_host(F.col("url"))
+            ).collect()
+        ]
+        duck = duckdb.connect()
+        duck.execute("CREATE TABLE t(url VARCHAR)")
+        duck.executemany(
+            "INSERT INTO t VALUES (?)", [(u,) for u in self.CASES]
+        )
+        want = duck.sql(
+            f"SELECT {canonical_url_oracle_sql('url')}, "
+            f"{url_host_oracle_sql('url')} FROM t"
+        ).fetchall()
+        assert got == [tuple(w) for w in want]
