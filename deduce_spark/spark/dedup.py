@@ -75,15 +75,33 @@ def minhash_sig(text: str, shingle_words: int = 3) -> list[int]:
     return [int(x) for x in v.min(axis=1)]
 
 
+def _batch_minhash_sigs(
+    texts: list[str], shingle_words: int = 3
+) -> list[list[int]]:
+    """Batch-vectorized minhash: one (N_HASHES, total_shingles) permute
+    matrix for the whole Arrow batch + segmented min (np.minimum.reduceat)
+    instead of a per-document outer product.  Bit-identical to
+    ``minhash_sig`` (same arithmetic on the same values, only the loop
+    structure changes) — pinned by test and by the golden fixtures."""
+    shingle_arrays = [_word_shingles(t, shingle_words) for t in texts]
+    if not shingle_arrays:
+        return []
+    lengths = np.array([len(a) for a in shingle_arrays])
+    flat = np.concatenate(shingle_arrays)
+    v = (np.outer(_PERM_A, flat) + _PERM_B[:, None]) % _MERSENNE
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    mins = np.minimum.reduceat(v, starts, axis=1)  # (N_HASHES, n_docs)
+    return [[int(x) for x in mins[:, j]] for j in range(len(texts))]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_words: int = 3
 ) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, sigs = [], []
-            for did, text in zip(batch[id_col], batch[text_col]):
-                sigs.append(minhash_sig(text, shingle_words))
-                ids.append(int(did))
+            ids = [int(d) for d in batch[id_col]]
+            sigs = _batch_minhash_sigs(list(batch[text_col]), shingle_words)
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=_SIG_SCHEMA)
