@@ -81,3 +81,30 @@ def test_entry_smoke(spark):
     assert len(rows) >= 4
     preds = {r["pred"] for r in rows}
     assert "mentions" in preds and "hasType" in preds
+
+
+def test_golden_oracle_paths_parameterized_by_sf():
+    """oracle_sql(sf) must point golden-fixture oracles at that sf's
+    committed fixtures (ADVICE r2: hard-coded sf0.01 paths made the gate
+    wrong at other tiers)."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as entry_mod
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        oracles = entry_mod.oracle_sql(sf)
+        golden = {
+            name: sql
+            for name, sql in oracles.items()
+            if "parquet_scan" in sql
+        }
+        assert len(golden) == 17
+        for name, sql in golden.items():
+            m = re.search(r"parquet_scan\(\s*'([^']+)'", sql)
+            assert m, name
+            path = Path(m.group(1))
+            assert f"/golden/{sf}/" in str(path), (name, sf, path)
+            assert path.exists(), f"missing committed fixture {path}"
+    # driver default (no argument) is the sf0.01 tier it compares at
+    assert "/golden/sf0.01/" in entry_mod.oracle_sql()["kg_pagerank"]
