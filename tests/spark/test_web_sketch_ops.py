@@ -150,3 +150,42 @@ class TestWebUrl:
             f"{url_host_oracle_sql('url')} FROM t"
         ).fetchall()
         assert got == [tuple(w) for w in want]
+
+
+class TestInvariants:
+    def test_canonicalize_idempotent(self, spark):
+        # canonical form is a fixed point: re-canonicalizing changes nothing
+        # (sorted params stay sorted, stripped parts stay stripped)
+        urls = [
+            f"HTTP://WWW.site{i}.Example.com:80/p/{i}?utm_source=s&z={i}&a=1#f"
+            for i in range(25)
+        ] + [
+            "https://example.com", "https://example.com/?b=2&a=1",
+            "ftp://x.y:21/p", "https://example.com:8443/q?gclid=g",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+        twice = once.select(
+            "c1", canonicalize_url(F.col("c1")).alias("c2")
+        ).collect()
+        assert all(r["c1"] == r["c2"] for r in twice)
+
+    def test_substr_dup_bounds(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100)
+        rows = exact_substr_dup(docs, k=50, stride=10).collect()
+        assert all(0 <= r["n_dup_grams"] <= r["n_grams"] for r in rows)
+        assert all(0 <= r["dup_permille"] <= 1000 for r in rows)
+
+    def test_hll_register_bounds(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        words = docs.select(
+            F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+        regs = hll_registers(words, "w", p=9).collect()
+        assert 0 < len(regs) <= 512
+        assert all(0 <= r["bucket"] < 512 for r in regs)
+        assert all(1 <= r["max_rho"] <= 24 for r in regs)  # 23 rem bits + 1
