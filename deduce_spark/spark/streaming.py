@@ -258,3 +258,23 @@ def stream_pages_to_mentions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_registers_stream(
+    stream_df: DataFrame, col: str, p: int = 9
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance: keep the (bucket, max_rho)
+    register table of every value seen on an unbounded stream.
+
+    State is AT MOST 2^p rows forever (the registers themselves — HLL's
+    whole point), so unlike a streaming COUNT DISTINCT the state store
+    never grows with cardinality; no watermark is needed because the
+    aggregate is a monotone max.  Update output mode emits changed
+    registers per batch; the sink folds them with max() (registers are
+    mergeable — the same property the batch sketch proves by test).
+    Same engine-portable integer arithmetic as ``sketches.hll_registers``,
+    so a streaming-maintained table is value-identical to a batch sketch
+    of the union of all batches."""
+    from deduce_spark.spark.sketches import hll_registers
+
+    return hll_registers(stream_df, col, p=p)

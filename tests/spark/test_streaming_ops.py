@@ -192,3 +192,61 @@ def test_dedup_pages_stream_within_watermark(spark, tmp_path):
     assert seen.count(("a", 4)) == 1
     assert seen.count(("b", 4)) == 1
     assert len(seen) == 6  # a@d1, b@d1, c@d1, d@d3, a@d4, b@d4
+
+
+def test_hll_registers_stream_folds_to_batch_sketch(spark, tmp_path):
+    """Streaming HLL maintenance: update-mode register deltas, folded with
+    max() in the sink, equal the batch sketch over the union of all
+    batches — across a checkpoint restart, with bounded (<=2^p) state."""
+    from deduce_spark.spark.sketches import hll_registers
+
+    src = tmp_path / "vals"
+    ckpt = tmp_path / "ckpt_hll"
+    src.mkdir()
+    schema = "v string"
+    folded: dict[int, int] = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = st.hll_registers_stream(stream, "v", p=6)
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                b, rho = r["bucket"], r["max_rho"]
+                folded[b] = max(folded.get(b, 0), rho)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write_batch(values):
+        spark.createDataFrame([(v,) for v in values], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    write_batch([f"x{i}" for i in range(300)])
+    run_once()
+    write_batch([f"x{i}" for i in range(150, 450)])  # overlap + new
+    run_once()  # fresh query object, same checkpoint = restart
+    write_batch([f"y{i}" for i in range(100)])
+    run_once()
+
+    batch = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(
+            spark.createDataFrame(
+                [(f"x{i}",) for i in range(450)]
+                + [(f"y{i}",) for i in range(100)],
+                schema,
+            ),
+            "v",
+            p=6,
+        ).collect()
+    }
+    assert folded == batch
+    assert len(folded) <= 64
