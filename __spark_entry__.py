@@ -316,14 +316,15 @@ _QUERY_ORDER = [
     "corpus_filter_docs", "split_assign_docs", "distinctive_terms_by_lang",
     # sketches / substring dedup / web-url ops (round 3)
     "hll_words_registers", "substr_dup_docs", "url_canonical_hosts",
+    "link_graph_indegree",
     # kernel stages exposed relationally
     "tokenize_t1", "mentions_gap_merge", "fuzzy_name_pairs", "bsn_elfproef",
     "regex_identifiers", "regex_phone",
     # relational checklist (§2.6)
     "events_sessionize", "events_asof_purchase", "domain_counts_salted",
-    "bucket_except", "tpch_q1",
+    "tpch_q1",
     # ---- unscored tail (positions 51+): redundant twins of the above ----
-    "tpch_q3ish", "brand_volume", "nation_supplier_stats",
+    "bucket_except", "tpch_q3ish", "brand_volume", "nation_supplier_stats",
     "cust_no_orders", "brands_traded_semi", "orders_rollup",
     "events_moving_avg", "acctbal_deciles", "orders_above_cust_avg",
     "lineitem_percentiles", "events_value_buckets", "events_pivot",
@@ -570,6 +571,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["url_canonical_hosts"] = url_canonical_hosts
+
+    def link_graph_indegree(spark, sf_dir):
+        # hyperlink-graph extraction: synthetic HTML (derived from doc_id
+        # with the same expression both engines) -> href regex -> canonical
+        # destination -> indegree per target host.  The crawl-pipeline
+        # stage that feeds a REAL link graph (vs the entity cooc graph)
+        from deduce_spark.spark.weburl import extract_links, url_host
+
+        pages = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://src"), (F.col("doc_id") % 9).cast("string"),
+                     F.lit(".nl/p/"), F.col("doc_id").cast("string")).alias("url"),
+            F.concat(
+                F.lit('<html><body><p>t</p><a href="HTTP://WWW.Site'),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit(".nl:80/art/"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit('?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('">y</a></body></html>'),
+            ).cast("binary").alias("html"),
+        )
+        edges = extract_links(pages, "html", "url", canonical=True)
+        return (
+            edges.withColumn("dst_host", url_host(F.col("dst_url")))
+            .groupBy("dst_host")
+            .agg(
+                F.count(F.lit(1)).alias("n_inlinks"),
+                F.countDistinct("dst_url").alias("n_distinct_pages"),
+            )
+            .orderBy("dst_host")
+        )
+
+    q["link_graph_indegree"] = link_graph_indegree
 
     def embed_hash_docs(spark, sf_dir):
         # hashing-trick document embeddings (no vocab, no training, no
@@ -1482,6 +1516,33 @@ def _url_hosts_oracle() -> str:
     """
 
 
+def _link_graph_oracle() -> str:
+    from deduce_spark.spark.weburl import (
+        canonical_url_oracle_sql, url_host_oracle_sql,
+    )
+
+    return f"""
+        WITH pages AS (
+            SELECT '<html><body><p>t</p><a href="HTTP://WWW.Site'
+                   || CAST(doc_id % 13 AS VARCHAR) || '.nl:80/art/'
+                   || CAST(doc_id % 97 AS VARCHAR)
+                   || '?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'
+                   || CAST(doc_id % 5 AS VARCHAR)
+                   || '">y</a></body></html>' AS html
+            FROM documents
+        ),
+        e AS (
+            SELECT unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS raw
+            FROM pages
+        ),
+        c AS (SELECT {canonical_url_oracle_sql('raw')} AS dst_url FROM e)
+        SELECT {url_host_oracle_sql('dst_url')} AS dst_host,
+               CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+               CAST(COUNT(DISTINCT dst_url) AS BIGINT) AS n_distinct_pages
+        FROM c GROUP BY 1 ORDER BY dst_host
+    """
+
+
 def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     """DuckDB value-oracle per query key (same order as queries()).
 
@@ -2079,6 +2140,7 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             FROM tot t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id
         """,
         "url_canonical_hosts": _url_hosts_oracle(),
+        "link_graph_indegree": _link_graph_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

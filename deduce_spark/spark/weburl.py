@@ -89,3 +89,39 @@ def canonical_url_oracle_sql(url_expr: str) -> str:
         f"CASE WHEN {path} = '' THEN '/' ELSE {path} END || "
         f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END)"
     )
+
+
+_HREF_RE = r'href="([^"]+)"'
+
+
+def extract_links(
+    df, html_col: str = "html", url_col: str = "url", canonical: bool = True
+):
+    """(src_url, dst_url) edge list from anchor hrefs — the hyperlink-graph
+    extraction stage of a crawl pipeline, fully native.
+
+    ``html_col`` may be string or binary (cast to string — pages tables
+    store html as binary per the input schema).  Each href becomes one
+    edge row; ``canonical=True`` normalizes destinations through
+    :func:`canonicalize_url` so the downstream graph (indegree, PageRank
+    over real links) keys on canonical pages, not tracking-param spam.
+    Relative hrefs are kept verbatim (no base-resolution — a production
+    crawl resolves against ``url_col`` with one extra concat_ws; the
+    fixture-free driver query uses absolute links only).
+
+    Scale shape: regexp_extract_all + explode per page, zero shuffles
+    until the caller aggregates; the regex runs inside codegen so link
+    extraction adds no Python to a 10^12-page scan."""
+    from pyspark.sql import functions as F
+
+    hrefs = F.expr(
+        f"regexp_extract_all(CAST({html_col} AS STRING), '{_HREF_RE}', 1)"
+    )
+    edges = df.select(
+        F.col(url_col).alias("src_url"), F.explode(hrefs).alias("dst_url")
+    )
+    if canonical:
+        edges = edges.withColumn(
+            "dst_url", canonicalize_url(F.col("dst_url"))
+        )
+    return edges

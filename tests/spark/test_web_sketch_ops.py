@@ -189,3 +189,39 @@ class TestInvariants:
         assert 0 < len(regs) <= 512
         assert all(0 <= r["bucket"] < 512 for r in regs)
         assert all(1 <= r["max_rho"] <= 24 for r in regs)  # 23 rem bits + 1
+
+
+class TestExtractLinks:
+    def test_extracts_and_canonicalizes(self, spark):
+        from deduce_spark.spark.weburl import extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://a.nl/1",
+                    '<a href="HTTP://WWW.B.nl:80/x?utm_source=s&k=1#f">t</a>'
+                    '<a href="https://c.nl/y">u</a>',
+                ),
+                ("https://a.nl/2", "<p>no links</p>"),
+            ],
+            "url string, html string",
+        )
+        got = sorted(map(tuple, extract_links(pages, "html", "url").collect()))
+        assert got == [
+            ("https://a.nl/1", "http://b.nl/x?k=1"),
+            ("https://a.nl/1", "https://c.nl/y"),
+        ]
+
+    def test_binary_html_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from deduce_spark.spark.weburl import extract_links
+
+        pages = spark.createDataFrame(
+            [("https://a.nl/1", '<a href="https://d.nl/z">t</a>')],
+            "url string, html string",
+        ).select("url", F.col("html").cast("binary").alias("html"))
+        got = extract_links(pages, "html", "url").collect()
+        assert [(r["src_url"], r["dst_url"]) for r in got] == [
+            ("https://a.nl/1", "https://d.nl/z")
+        ]
