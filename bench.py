@@ -64,6 +64,18 @@ def run_headline() -> dict:
     pages = entry_mod._pages_df(spark, SF_DIR)
     pipe = entry_mod._pipeline(spark)
     pipe.annotate_pages(pages.limit(2 * CPUS).repartition(2 * CPUS), lang=None).count()
+    # same amortization for the sketch UDF path: a 2-rows-per-worker
+    # minhash touch loads numpy + the dedup module into every reused
+    # Python worker (on a cluster this import happens once per executor,
+    # not once per job)
+    from deduce_spark.spark.dedup import minhash_signatures
+    from pyspark.sql import functions as _F
+
+    minhash_signatures(
+        spark.range(2 * CPUS)
+        .repartition(2 * CPUS)
+        .select(_F.col("id").alias("doc_id"), _F.lit("warm up text").alias("text"))
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
