@@ -49,9 +49,14 @@ def decontam_overlap(
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
         return df.select(*cols, F.explode(F.expr(g)).alias("gram"))
 
-    bench_grams = grams(benchmark, keep_id=False).distinct()
-    # count-gate the broadcast (cheap: count of a distinct-aggregated
-    # small side); oversized benchmarks fall back to a shuffled semi-join
+    # persist before the gate count: the same distinct gram set feeds the
+    # semi-join, so without a persist the benchmark explode+distinct runs
+    # twice (once for the count, once inside the join)
+    bench_grams = grams(benchmark, keep_id=False).distinct().persist()
+    # count-gate the broadcast; oversized benchmarks fall back to a
+    # shuffled semi-join.  NOTE the count is an eager job at
+    # DataFrame-construction time — the price of a data-dependent join
+    # strategy decision
     if bench_grams.count() <= broadcast_max_grams:
         bench_grams = F.broadcast(bench_grams)
     doc_grams = grams(docs, keep_id=True)

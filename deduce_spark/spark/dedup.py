@@ -75,24 +75,48 @@ def minhash_sig(text: str, shingle_words: int = 3) -> list[int]:
     return [int(x) for x in v.min(axis=1)]
 
 
+_MAX_CHUNK_SHINGLES = 1 << 20  # ~64 x 1M x 8B = 512 MB peak per temporary
+
+
 def _batch_minhash_sigs(
     texts: list[str], shingle_words: int = 3
 ) -> list[list[int]]:
-    """Batch-vectorized minhash: one (N_HASHES, total_shingles) permute
-    matrix for the whole Arrow batch + segmented min (np.minimum.reduceat)
-    instead of a per-document outer product.  Bit-identical to
-    ``minhash_sig`` (same arithmetic on the same values, only the loop
-    structure changes) — pinned by test and by the golden fixtures."""
-    shingle_arrays = [_word_shingles(t, shingle_words) for t in texts]
-    if not shingle_arrays:
-        return []
-    lengths = np.array([len(a) for a in shingle_arrays])
-    flat = np.concatenate(shingle_arrays)
-    v = (np.outer(_PERM_A, flat) + _PERM_B[:, None]) % _MERSENNE
-    starts = np.zeros(len(lengths), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-    mins = np.minimum.reduceat(v, starts, axis=1)  # (N_HASHES, n_docs)
-    return [[int(x) for x in mins[:, j]] for j in range(len(texts))]
+    """Batch-vectorized minhash: one (N_HASHES, chunk_shingles) permute
+    matrix + segmented min (np.minimum.reduceat) instead of a per-document
+    outer product.  Bit-identical to ``minhash_sig`` (same arithmetic on
+    the same values, only the loop structure changes) — pinned by test and
+    by the golden fixtures.
+
+    Documents are processed in chunks of at most ``_MAX_CHUNK_SHINGLES``
+    total shingles so the permute matrix (and its arithmetic temporaries)
+    stays bounded regardless of Arrow batch size × document length — a
+    10k-row batch of 1k-word web documents would otherwise materialize a
+    multi-GB matrix per worker."""
+    out: list[list[int]] = []
+    chunk: list[np.ndarray] = []
+    chunk_shingles = 0
+
+    def flush():
+        nonlocal chunk, chunk_shingles
+        if not chunk:
+            return
+        lengths = np.array([len(a) for a in chunk])
+        flat = np.concatenate(chunk)
+        v = (np.outer(_PERM_A, flat) + _PERM_B[:, None]) % _MERSENNE
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        mins = np.minimum.reduceat(v, starts, axis=1)  # (N_HASHES, n_docs)
+        out.extend([int(x) for x in mins[:, j]] for j in range(len(chunk)))
+        chunk, chunk_shingles = [], 0
+
+    for t in texts:
+        sh = _word_shingles(t, shingle_words)  # never empty
+        if chunk_shingles + len(sh) > _MAX_CHUNK_SHINGLES and chunk:
+            flush()
+        chunk.append(sh)
+        chunk_shingles += len(sh)
+    flush()
+    return out
 
 
 def minhash_signatures(
@@ -191,16 +215,21 @@ _SIMHASH_SCHEMA = T.StructType(
 )
 
 
+_MAX_CHUNK_WORDS = 1 << 20  # 1M x 64 x 8B = 512 MB peak per temporary
+
+
 def _batch_simhash(texts: list[str]) -> list[int]:
-    """Batch-vectorized simhash: one (total_words, 64) bit matrix per
-    Arrow batch with segmented vote sums (np.add.reduceat) — bit-identical
-    to ``simhash64`` (same word hashes, same votes, same sign threshold),
-    pinned by test and by the golden fixtures."""
-    word_lists = [t.split() for t in texts]
-    lengths = np.array([len(w) for w in word_lists])
+    """Batch-vectorized simhash: one (chunk_words, 64) bit matrix with
+    segmented vote sums (np.add.reduceat) — bit-identical to ``simhash64``
+    (same word hashes, same votes, same sign threshold), pinned by test
+    and by the golden fixtures.  Chunked at ``_MAX_CHUNK_WORDS`` total
+    words so the bit matrix stays bounded regardless of Arrow batch size
+    × document length (same rationale as ``_batch_minhash_sigs``)."""
     out = np.zeros(len(texts), dtype=np.int64)
-    nonempty = np.nonzero(lengths)[0]
-    if len(nonempty):
+
+    def flush(idx: list[int], word_lists: list[list[str]]):
+        if not idx:
+            return
         flat = [w for words in word_lists for w in words]
         h1 = np.array(
             [zlib.crc32(w.encode("utf-8")) for w in flat], dtype=np.uint64
@@ -211,16 +240,30 @@ def _batch_simhash(texts: list[str]) -> list[int]:
         )
         h = (h1 << np.uint64(32)) | h2
         bits = ((h[:, None] >> _BIT_COLS) & np.uint64(1)).astype(np.int64)
-        votes = 2 * bits - 1  # (total_words, 64)
-        ne_lengths = lengths[nonempty]
-        starts = np.zeros(len(ne_lengths), dtype=np.int64)
-        np.cumsum(ne_lengths[:-1], out=starts[1:])
-        v = np.add.reduceat(votes, starts, axis=0)  # (n_nonempty, 64)
+        votes = 2 * bits - 1  # (chunk_words, 64)
+        lengths = np.array([len(w) for w in word_lists])
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        v = np.add.reduceat(votes, starts, axis=0)  # (n_docs_in_chunk, 64)
         sims = ((v > 0).astype(np.uint64) << _BIT_COLS[None, :]).sum(
             axis=1, dtype=np.uint64
         )
-        signed = sims.astype(np.int64)  # two's-complement reinterpret
-        out[nonempty] = signed
+        out[idx] = sims.astype(np.int64)  # two's-complement reinterpret
+
+    idx: list[int] = []
+    word_lists: list[list[str]] = []
+    n_words = 0
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            continue  # empty doc -> simhash 0 (matches simhash64)
+        if n_words + len(words) > _MAX_CHUNK_WORDS and idx:
+            flush(idx, word_lists)
+            idx, word_lists, n_words = [], [], 0
+        idx.append(i)
+        word_lists.append(words)
+        n_words += len(words)
+    flush(idx, word_lists)
     return [int(x) for x in out]
 
 

@@ -905,7 +905,16 @@ def compact_canonicalize(
         )
     ).cache()
     n_split = id_map.filter(F.col("n_new") > 1).count()
+    # the count above materialized new_sm's and id_map's caches; the
+    # intermediate surf/sigs caches are no longer needed (mirrors
+    # incremental_canonicalize's unpersist discipline — a maintenance job
+    # that leaks cached blocks every cycle degrades the executors it is
+    # meant to keep healthy)
+    surf.unpersist()
+    sigs.unpersist()
     if n_split:
+        id_map.unpersist()
+        new_sm.unpersist()
         raise RuntimeError(
             f"compaction split {n_split} existing entities across batch "
             "components (bucket-cap truncation differed between runs); "
@@ -957,25 +966,22 @@ def remap_triples(triples_df: DataFrame, id_map: DataFrame) -> DataFrame:
     )
     # merging two co-mentioned entities can leave a coOccursWith edge as a
     # self-loop (drop) or flip the a<b ordering / collapse two page edges
-    # into byte-identical rows (normalize + distinct).  Non-cooc families
-    # are unaffected by the reorder (their subj/obj never merge pairwise);
-    # distinct() is a no-op for them by construction.
+    # into byte-identical rows — normalize + distinct, but ONLY on the
+    # cooc family: 'mentions' legitimately repeats byte-identical rows
+    # (one per mention occurrence), so a global distinct would silently
+    # drop mention multiplicity that a full batch rebuild preserves.
+    cols = triples_df.columns
     is_cooc = F.col("pred") == "coOccursWith"
     a, b = F.col("subj").cast("long"), F.col("obj").cast("long")
-    out = (
-        out.filter(~(is_cooc & (F.col("subj") == F.col("obj"))))
-        .withColumn(
-            "subj2",
-            F.when(is_cooc, F.least(a, b).cast("string")).otherwise(F.col("subj")),
-        )
-        .withColumn(
-            "obj2",
-            F.when(is_cooc, F.greatest(a, b).cast("string")).otherwise(F.col("obj")),
-        )
+    non_cooc = out.filter(~is_cooc).select(*cols)
+    cooc = (
+        out.filter(is_cooc & (F.col("subj") != F.col("obj")))
+        .withColumn("subj2", F.least(a, b).cast("string"))
+        .withColumn("obj2", F.greatest(a, b).cast("string"))
         .drop("subj", "obj")
         .withColumnRenamed("subj2", "subj")
         .withColumnRenamed("obj2", "obj")
-        .select(*triples_df.columns)
+        .select(*cols)
         .distinct()
     )
-    return out
+    return non_cooc.unionByName(cooc)

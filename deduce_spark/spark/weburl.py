@@ -36,7 +36,9 @@ def canonicalize_url(col: Column) -> Column:
     scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     raw_host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
     path = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    # strip the fragment BEFORE looking for the query: '?' inside a
+    # fragment ('/p#a?b=1') is fragment text, not a query separator
+    query = F.regexp_extract(F.regexp_replace(col, r"#.*", ""), r"\?(.*)", 1)
     kept = F.array_join(
         F.array_sort(
             F.filter(
@@ -51,9 +53,14 @@ def canonicalize_url(col: Column) -> Column:
         .otherwise(raw_host)
     norm_host = F.regexp_replace(norm_host, r"^www\.", "")
     norm_path = F.when(path == "", F.lit("/")).otherwise(path)
-    return F.concat(
-        scheme, F.lit("://"), norm_host, norm_path,
-        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    # scheme-less input (relative hrefs: '/about', '#top', 'img.png') has
+    # no canonical absolute form — pass it through verbatim rather than
+    # fabricating ':///'-prefixed garbage that merges distinct targets
+    return F.when(scheme == "", col).otherwise(
+        F.concat(
+            scheme, F.lit("://"), norm_host, norm_path,
+            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+        )
     )
 
 
@@ -78,16 +85,21 @@ def canonical_url_oracle_sql(url_expr: str) -> str:
         f"ELSE {raw_host} END, '^www\\.', '')"
     )
     path = f"coalesce(regexp_extract({url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
-    query = f"coalesce(regexp_extract({url_expr}, '\\?([^#]*)', 1), '')"
+    # fragment stripped before the query search (mirrors the Spark side)
+    query = (
+        f"coalesce(regexp_extract(regexp_replace({url_expr}, '#.*', ''), "
+        f"'\\?(.*)', 1), '')"
+    )
     # array_to_string([]) is NULL in DuckDB (Spark's array_join gives '')
     kept = (
         f"coalesce(array_to_string(list_sort(list_filter(string_split({query}, '&'), "
         f"kv -> kv <> '' AND NOT regexp_matches(kv, '{_TRACKING_RE}'))), '&'), '')"
     )
     return (
-        f"({scheme} || '://' || {host} || "
+        f"(CASE WHEN {scheme} = '' THEN {url_expr} ELSE "
+        f"{scheme} || '://' || {host} || "
         f"CASE WHEN {path} = '' THEN '/' ELSE {path} END || "
-        f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END)"
+        f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END END)"
     )
 
 

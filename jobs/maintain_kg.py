@@ -69,6 +69,7 @@ def run_merge_compaction(spark, root: str, engine=None) -> dict:
     ).cache()
     n_changed = changed.count()
     if n_changed == 0:
+        changed.unpersist()
         return {"merged_entities": 0, "noop": True}
 
     if engine is None:
@@ -109,6 +110,11 @@ def run_merge_compaction(spark, root: str, engine=None) -> dict:
         summary={"run_id": run_id, "stage": "merge_compaction"},
     )
     changed.unpersist()
+    # compact_canonicalize's returned frames are backed by internal caches
+    # (the LSH+CC chain must not recompute per consumer); all writes are
+    # done, so release everything — this job owns its session when run via
+    # spark-submit, and a shared test session merely recomputes on demand
+    spark.catalog.clearCache()
     wall = time.monotonic() - t0
     report["wall_s"] = round(wall, 3)
     log.append(

@@ -414,3 +414,22 @@ class TestCompaction:
             r["old_entity_id"]: r["new_entity_id"] for r in id_map.collect()
         }
         assert all(k == v for k, v in mapping.items())
+
+    def test_remap_preserves_mention_multiplicity(self, spark):
+        # two byte-identical 'mentions' rows (one per mention occurrence)
+        # must BOTH survive remapping — only the cooc family deduplicates
+        from deduce_spark.spark.kg import compact_canonicalize, remap_triples
+
+        sm2 = self._split_map(spark)
+        _, _, id_map = compact_canonicalize(sm2)
+        ents = sorted({r["entity_id"] for r in sm2.collect()})
+        e1 = str(ents[0])
+        triples = spark.createDataFrame(
+            [
+                ("http://a/", "mentions", e1, "http://a/", "t0"),
+                ("http://a/", "mentions", e1, "http://a/", "t0"),
+            ],
+            "subj string, pred string, obj string, url string, warc_ts string",
+        )
+        out = remap_triples(triples, id_map).collect()
+        assert len(out) == 2

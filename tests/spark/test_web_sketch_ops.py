@@ -225,3 +225,53 @@ class TestExtractLinks:
         assert [(r["src_url"], r["dst_url"]) for r in got] == [
             ("https://a.nl/1", "https://d.nl/z")
         ]
+
+
+class TestCanonicalizeEdgeCases:
+    """Round-3 review fixes: scheme-less passthrough and fragment-'?'."""
+
+    def test_relative_hrefs_pass_through(self, spark):
+        from deduce_spark.spark.weburl import extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://a.nl/1",
+                    '<a href="/about">x</a><a href="#top">y</a>'
+                    '<a href="img.png">z</a><a href="https://b.nl/c#f">w</a>',
+                )
+            ],
+            "url string, html string",
+        )
+        got = sorted(
+            r["dst_url"] for r in extract_links(pages, "html", "url").collect()
+        )
+        assert got == ["#top", "/about", "https://b.nl/c", "img.png"]
+
+    def test_fragment_question_mark_is_not_a_query(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("https://x.com/p#a?b=1",),
+                ("https://x.com/p",),
+                ("https://x.com/p?real=1#frag?fake=2",),
+            ],
+            "url string",
+        )
+        got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+        assert got[0] == "https://x.com/p"      # fragment '?b=1' dropped
+        assert got[0] == got[1]                 # now dedups together
+        assert got[2] == "https://x.com/p?real=1"
+        # DuckDB twin agrees on the same cases
+        duck = duckdb.connect()
+        duck.execute("CREATE TABLE t(url VARCHAR)")
+        duck.executemany(
+            "INSERT INTO t VALUES (?)",
+            [("https://x.com/p#a?b=1",), ("/rel",), ("#top",)],
+        )
+        want = [
+            r[0]
+            for r in duck.sql(
+                f"SELECT {canonical_url_oracle_sql('url')} FROM t"
+            ).fetchall()
+        ]
+        assert want == ["https://x.com/p", "/rel", "#top"]

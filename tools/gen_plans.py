@@ -33,7 +33,17 @@ def main() -> None:
         rows.append(
             (
                 name,
-                plan.count("Exchange"),
+                # shuffle exchanges only: ShuffleExchangeExec prints as
+                # "Exchange hashpartitioning/rangepartitioning/
+                # SinglePartition..." — a bare plan.count("Exchange") would
+                # also count BroadcastExchange/ReusedExchange (no shuffle)
+                len(
+                    re.findall(
+                        r"\bExchange (?:hashpartitioning|rangepartitioning|"
+                        r"SinglePartition|RoundRobinPartitioning)",
+                        plan,
+                    )
+                ),
                 len(re.findall(r"Broadcast(Hash|NestedLoop)Join", plan)),
                 plan.count("MapInPandas") + plan.count("ArrowEvalPython"),
                 "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "-",
