@@ -309,27 +309,42 @@ _QUERY_ORDER = [
     # dedup / similarity (SQL twins)
     "exact_dedup", "embed_cosine_dedup", "ngram_jaccard", "embed_topk",
     "embed_hash_docs",
-    # text analysis / curation
-    "doc_scan_filter", "doc_token_count", "word_freq_topk", "doc_quality",
-    "doc_lang_id", "doc_fingerprint", "para_dedup_docs", "doc_repetition",
+    # text analysis / curation (doc_textstats = tokens+quality+lang+md5
+    # fingerprint in ONE scan; individual forms pinned in demoted_queries)
+    "doc_textstats", "word_freq_topk", "para_dedup_docs", "doc_repetition",
     "decontam_overlap_docs", "sample_per_lang", "token_budget_mix_docs",
     "corpus_filter_docs", "split_assign_docs", "distinctive_terms_by_lang",
-    # sketches / substring dedup / web-url ops (round 3)
+    # sketches / substring dedup / web-url ops
     "hll_words_registers", "substr_dup_docs", "url_canonical_hosts",
     "link_graph_indegree",
-    # kernel stages exposed relationally
+    # kernel stages exposed relationally (regex_annotators = A2 identifier
+    # + A5 phone union; per-pattern twins pinned in demoted_queries)
     "tokenize_t1", "mentions_gap_merge", "fuzzy_name_pairs", "bsn_elfproef",
-    "regex_identifiers", "regex_phone",
-    # relational checklist (§2.6)
+    "regex_annotators",
+    # relational checklist (§2.6) — every distinct family scored
     "events_sessionize", "events_asof_purchase", "domain_counts_salted",
-    "tpch_q1",
-    # ---- unscored tail (positions 51+): redundant twins of the above ----
-    "bucket_except", "tpch_q3ish", "brand_volume", "nation_supplier_stats",
-    "cust_no_orders", "brands_traded_semi", "orders_rollup",
-    "events_moving_avg", "acctbal_deciles", "orders_above_cust_avg",
-    "lineitem_percentiles", "events_value_buckets", "events_pivot",
-    "orders_daily_delta", "regex_emails", "regex_dates", "regex_urls",
-    "regex_postal", "events_hourly", "events_regex_extract",
+    "tpch_q1", "bucket_except", "orders_rollup", "events_pivot",
+    "lineitem_percentiles", "acctbal_deciles",
+]
+
+# Redundant relational/regex twins of scored queries, demoted out of the
+# driver's 50-query scoring window so CORRECTNESS_r{N} covers 100% of
+# queries().  Every entry stays pytest-pinned: tests/spark/test_entry.py
+# sweeps demoted_queries() vs demoted_oracle_sql() with the same
+# rows+schema+values compare the driver uses.
+_DEMOTED_ORDER = [
+    # merged into doc_textstats (single-scan form)
+    "doc_scan_filter", "doc_token_count", "doc_quality", "doc_lang_id",
+    "doc_fingerprint",
+    # merged into regex_annotators
+    "regex_identifiers", "regex_phone",
+    # regex family twins (pattern variants of regex_annotators)
+    "regex_emails", "regex_dates", "regex_urls", "regex_postal",
+    "events_regex_extract",
+    # relational twins of scored join/agg/window queries
+    "tpch_q3ish", "brand_volume", "nation_supplier_stats", "cust_no_orders",
+    "brands_traded_semi", "events_moving_avg", "orders_above_cust_avg",
+    "events_value_buckets", "orders_daily_delta", "events_hourly",
     "segment_top_customers",
 ]
 
@@ -343,6 +358,20 @@ def _reorder(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 scored queries (the driver caps scoring at 50) — one per
+    distinct operator family; redundant twins live in demoted_queries()."""
+    q = _all_queries()
+    return _reorder({k: v for k, v in q.items() if k not in _DEMOTED_ORDER})
+
+
+def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Redundant twins kept out of the driver's 50-query window; swept by
+    tests/spark/test_entry.py with the driver's own compare."""
+    q = _all_queries()
+    return {k: q[k] for k in _DEMOTED_ORDER}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # -- relational core (scan/filter/agg/join/window/topk) ---------------
@@ -419,6 +448,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint_md5(_docs(spark, sf_dir)).orderBy("doc_id")
 
     q["doc_fingerprint"] = doc_fingerprint
+
+    def doc_textstats(spark, sf_dir):
+        # tokens + quality + lang-id + md5 fingerprint fused into ONE
+        # parquet scan / one codegen span (the scored form; the four
+        # individual queries above are pinned in demoted_queries())
+        from deduce_spark.spark.textstats import textstats_all
+
+        return textstats_all(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["doc_textstats"] = doc_textstats
 
     def para_dedup_docs(spark, sf_dir):
         # ccnet-style paragraph dedup accounting: two shuffles on md5 keys,
@@ -855,14 +894,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_moving_avg"] = events_moving_avg
 
     def acctbal_deciles(spark, sf_dir):
-        # global ntile is inherently a total sort — fine for a stats query
-        # whose output is 10 rows; deterministic tie-break on c_custkey
-        from pyspark.sql import Window
+        # global NTILE(10) semantics WITHOUT the global sort: range-bucket
+        # + broadcast prefix offsets + arithmetic tile index
+        # (relational.exact_ntile) — no unpartitioned unbounded WindowExec
+        # anywhere in the plan (pinned by tests/spark/test_plans.py);
+        # deterministic tie-break on c_custkey; bit-identical to the
+        # oracle's NTILE
+        from deduce_spark.spark.relational import exact_ntile
 
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        w = Window.orderBy("c_acctbal", "c_custkey")
         return (
-            cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+            exact_ntile(
+                cust, "c_acctbal", "c_custkey", n_tiles=10, out_col="decile"
+            )
             .groupBy("decile")
             .agg(
                 F.count(F.lit(1)).alias("n_customers"),
@@ -1163,6 +1207,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["regex_phone"] = regex_phone
+
+    def regex_annotators(spark, sf_dir):
+        # A2 identifier + A5 phone annotator families in one scored query
+        # (union with a `kind` discriminator; the per-pattern twins are
+        # pinned individually in demoted_queries()).  Reference:
+        # deduce/annotator.py:654-722 (phone), base_config.json identifier.
+        ids = regex_identifiers(spark, sf_dir).select(
+            "doc_id",
+            F.lit("identifier").alias("kind"),
+            F.col("id_text").alias("match_text"),
+        )
+        phones = regex_phone(spark, sf_dir).select(
+            "doc_id",
+            F.lit("phone").alias("kind"),
+            F.col("phone").alias("match_text"),
+        )
+        return ids.unionByName(phones).orderBy("doc_id", "kind", "match_text")
+
+    q["regex_annotators"] = regex_annotators
 
     def tokenize_t1(spark, sf_dir):
         # T1 tokenizer semantics (reference deduce/tokenizer.py:6): words,
@@ -1552,6 +1615,17 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     committed under data/golden/<sf>/ — regenerate with
     ``python -m deduce_spark.golden``).
     """
+    o = _all_oracles(sf)
+    return _reorder({k: v for k, v in o.items() if k not in _DEMOTED_ORDER})
+
+
+def demoted_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
+    """Oracles for demoted_queries(), same contract as oracle_sql()."""
+    o = _all_oracles(sf)
+    return {k: o[k] for k in _DEMOTED_ORDER if k in o}
+
+
+def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
     bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     email = r"[-a-zA-Z0-9:%._\+~#=]{1,256}@[-a-zA-Z0-9:%._\+~#=]{1,256}\.(?:com|net|org|co|us|uk|nl|be|fr|sp|gov|nu)"
     nl = ",".join(f"'{w}'" for w in _STOP_NL)
@@ -1629,6 +1703,44 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "doc_textstats": rf"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       len(regexp_split_to_array(text, '\s+')) AS n_words,
+                       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+                       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_,
+                       len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct,
+                       list_distinct(regexp_split_to_array(lower(text), '\s+')) AS lwords
+                FROM documents),
+            scored AS (
+                SELECT *,
+                       len(list_intersect(lwords, [{nl}])) AS score_nl,
+                       len(list_intersect(lwords, [{en}])) AS score_en,
+                       len(list_intersect(lwords, [{de}])) AS score_de
+                FROM base)
+            SELECT doc_id,
+                   n_words AS ws_tokens,
+                   len(regexp_extract_all(text, '{bpe}')) AS bpe_tokens,
+                   n_chars,
+                   ROUND((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+                   ROUND(punct / CAST(n_chars AS DOUBLE), 4) AS punct_ratio,
+                   ROUND(upper_ / CAST(n_chars AS DOUBLE), 4) AS upper_ratio,
+                   ROUND(n_distinct / CAST(n_words AS DOUBLE), 4) AS distinct_ratio,
+                   ROUND(
+                     (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN (n_chars - n_words + 1) / CAST(n_words AS DOUBLE)
+                           BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN punct / CAST(n_chars AS DOUBLE) <= 0.2 THEN 0.25 ELSE 0.0 END)
+                   + 0.25 * (n_distinct / CAST(n_words AS DOUBLE)), 4) AS quality,
+                   score_nl, score_en, score_de,
+                   CASE WHEN greatest(score_nl, score_en, score_de) = 0 THEN 'unknown'
+                        WHEN score_nl = greatest(score_nl, score_en, score_de) THEN 'nl'
+                        WHEN score_en = greatest(score_nl, score_en, score_de) THEN 'en'
+                        ELSE 'de' END AS pred_lang,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM scored ORDER BY doc_id
         """,
         "para_dedup_docs": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -2065,6 +2177,20 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                    unnest(regexp_extract_all({_PHONE_TEXT_SQL},
                           '\\b0\\d{{1,3}}[- ]?\\d{{6,8}}\\b')) AS phone
             FROM documents ORDER BY doc_id, phone
+        """,
+        "regex_annotators": f"""
+            WITH ids AS (
+                SELECT doc_id, 'identifier' AS kind,
+                       unnest(regexp_extract_all({_ID_TEXT_SQL},
+                              '\\d{{7,}}')) AS match_text
+                FROM documents),
+            ph AS (
+                SELECT doc_id, 'phone' AS kind,
+                       unnest(regexp_extract_all({_PHONE_TEXT_SQL},
+                              '\\b0\\d{{1,3}}[- ]?\\d{{6,8}}\\b')) AS match_text
+                FROM documents)
+            SELECT * FROM ids UNION ALL SELECT * FROM ph
+            ORDER BY doc_id, kind, match_text
         """,
         "tokenize_t1": f"""
             WITH toks AS (

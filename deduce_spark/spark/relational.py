@@ -45,6 +45,80 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     return partial.groupBy(key).agg(F.sum("_partial").alias("n"))
 
 
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 10,
+    n_buckets: int = 256,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Global ``NTILE(n)`` without a global sort (bit-identical result).
+
+    ``Window.orderBy(value)`` with no partition executes the entire input
+    on ONE task — the classic unbounded-input scale killer.  Instead:
+
+    1. one cheap aggregate gives (min, max, count) of ``value_col``;
+    2. rows are range-bucketed on value (``n_buckets`` equal-width bins —
+       a pure function of the value, so bucket order coarsens the
+       (value, tiebreak) sort order);
+    3. ``row_number`` within each bucket — ``n_buckets`` parallel tasks;
+    4. per-bucket counts (a ≤ ``n_buckets``-row table) prefix-sum into
+       exclusive offsets and broadcast back;
+    5. global rank = offset + within-bucket row_number, and the NTILE
+       index follows arithmetically: with n rows and t tiles,
+       q, r = divmod(n, t); ranks ≤ r*(q+1) land in tile
+       ceil(rank/(q+1)); the rest in r + ceil((rank - r*(q+1))/q).
+
+    Equal-width bins are safe regardless of skew: a hot VALUE collapses
+    into one bin, but ``row_number`` within that bin still orders by
+    (value, tiebreak) — correctness never depends on the bin histogram,
+    only parallelism does, and a follow-up re-split of oversized bins is
+    a local refinement if ever needed.
+    """
+    stats = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = int(stats["n"])
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_buckets or 1.0
+    bkt = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    bucketed = df.withColumn("_bkt", bkt)
+    w_in = Window.partitionBy("_bkt").orderBy(value_col, tiebreak_col)
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = F.broadcast(
+        bucketed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        .drop("_cnt")
+    )
+    q, r = divmod(n, n_tiles)
+    rank = F.col("_off") + F.row_number().over(w_in)
+    if q == 0:
+        # fewer rows than tiles: tile == rank
+        tile = rank
+    else:
+        # integer ceil(a/b) = floor((a-1)/b) + 1 for a >= 1
+        head = F.floor((rank - 1) / F.lit(q + 1)) + 1
+        tail = F.lit(r) + F.floor((rank - F.lit(r * (q + 1)) - 1) / F.lit(q)) + 1
+        tile = F.when(rank <= r * (q + 1), head).otherwise(tail) if r else tail
+    return (
+        bucketed.join(offsets, "_bkt")
+        .withColumn(out_col, tile.cast("long"))
+        .drop("_bkt", "_off")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

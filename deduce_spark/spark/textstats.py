@@ -105,6 +105,59 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def textstats_all(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_count + quality_score + lang_id + fingerprint_md5 fused into a
+    SINGLE projection: one parquet scan, every expression JVM-native inside
+    one whole-stage-codegen span.  At 100 TB this is the shape you want —
+    the four stats never justify four passes over the corpus.  Column
+    values are bit-identical to the individual functions (pinned by
+    tests/spark/test_operators.py)."""
+    text = F.col(text_col)
+    words = F.split(text, r"\s+")
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    mean_word_len = (n_chars - n_words + 1) / n_words
+    score = (
+        F.when((n_words >= 5) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+        + F.when(punct / n_chars <= 0.2, 0.25).otherwise(0.0)
+        + 0.25 * distinct_ratio
+    )
+    lwords = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    lang_scores = {
+        lang: F.size(F.array_intersect(lwords, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*lang_scores.values())
+    pred = (
+        F.when(lang_scores["nl"] == best, "nl")
+        .when(lang_scores["en"] == best, "en")
+        .otherwise("de")
+    )
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return df.select(
+        "doc_id",
+        F.size(words).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "bpe_tokens"
+        ),
+        n_chars.alias("n_chars"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(upper / n_chars, 4).alias("upper_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+        lang_scores["nl"].alias("score_nl"),
+        lang_scores["en"].alias("score_en"),
+        lang_scores["de"].alias("score_de"),
+        F.when(best > 0, pred).otherwise("unknown").alias("pred_lang"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
 _WINNOW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

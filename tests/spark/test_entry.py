@@ -58,6 +58,18 @@ def compare(spark_df, duck_df, name):
 
 ORACLED = sorted(entry_mod.oracle_sql())
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+DEMOTED = sorted(entry_mod.demoted_oracle_sql())
+
+
+def test_driver_window_contract():
+    """The driver scores at most 50 queries — queries() must be EXACTLY 50
+    (every entry scored, none invisible) and every one oracled; redundant
+    twins live in demoted_queries(), all oracled, disjoint from scored."""
+    q, d = entry_mod.queries(), entry_mod.demoted_queries()
+    assert len(q) == 50, f"queries() must stay exactly 50, got {len(q)}"
+    assert set(q) <= set(entry_mod.oracle_sql())
+    assert set(d) <= set(entry_mod.demoted_oracle_sql())
+    assert not set(q) & set(d)
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -65,6 +77,16 @@ def test_oracled_query(spark, duck, name):
     q = entry_mod.queries()[name]
     spark_pdf = q(spark, SF_DIR).toPandas()
     duck_pdf = duck.sql(entry_mod.oracle_sql()[name]).df()
+    compare(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", DEMOTED)
+def test_demoted_query(spark, duck, name):
+    """Demoted twins get the same rows+schema+values gate the driver
+    applies to scored queries — demotion changes visibility, not rigor."""
+    q = entry_mod.demoted_queries()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(entry_mod.demoted_oracle_sql()[name]).df()
     compare(spark_pdf, duck_pdf, name)
 
 

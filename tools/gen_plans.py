@@ -27,7 +27,9 @@ def main() -> None:
 
     spark = get_spark(master="local[8]", app_name="gen_plans")
     rows = []
-    for name, fn in sorted(entry_mod.queries().items()):
+    for name, fn in sorted(
+        {**entry_mod.queries(), **entry_mod.demoted_queries()}.items()
+    ):
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         rows.append(
