@@ -613,9 +613,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def link_graph_indegree(spark, sf_dir):
         # hyperlink-graph extraction: synthetic HTML (derived from doc_id
-        # with the same expression both engines) -> href regex -> canonical
-        # destination -> indegree per target host.  The crawl-pipeline
-        # stage that feeds a REAL link graph (vs the entity cooc graph)
+        # with the same expression both engines) -> href regex -> resolve
+        # relative hrefs against the page url (RFC-3986-lite) -> canonical
+        # destination -> indegree per target host.  The fixture exercises
+        # every href form a crawl sees: absolute, scheme-relative (//),
+        # absolute-path (/about), and dotted-relative (../w) — the latter
+        # three land on resolved hosts instead of fragmenting the graph
         from deduce_spark.spark.weburl import extract_links, url_host
 
         pages = _docs(spark, sf_dir).select(
@@ -628,7 +631,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("doc_id") % 97).cast("string"),
                 F.lit('?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'),
                 (F.col("doc_id") % 5).cast("string"),
-                F.lit('">y</a></body></html>'),
+                F.lit('">y</a><a href="//cdn'),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(".nl/img/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('">z</a><a href="/about/'),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('">a</a><a href="../w/'),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit('">r</a></body></html>'),
             ).cast("binary").alias("html"),
         )
         edges = extract_links(pages, "html", "url", canonical=True)
@@ -1581,24 +1592,35 @@ def _url_hosts_oracle() -> str:
 
 def _link_graph_oracle() -> str:
     from deduce_spark.spark.weburl import (
-        canonical_url_oracle_sql, url_host_oracle_sql,
+        canonical_url_oracle_sql, resolve_href_oracle_sql,
+        url_host_oracle_sql,
     )
 
     return f"""
         WITH pages AS (
-            SELECT '<html><body><p>t</p><a href="HTTP://WWW.Site'
+            SELECT 'https://src' || CAST(doc_id % 9 AS VARCHAR)
+                   || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   '<html><body><p>t</p><a href="HTTP://WWW.Site'
                    || CAST(doc_id % 13 AS VARCHAR) || '.nl:80/art/'
                    || CAST(doc_id % 97 AS VARCHAR)
                    || '?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'
                    || CAST(doc_id % 5 AS VARCHAR)
-                   || '">y</a></body></html>' AS html
+                   || '">y</a><a href="//cdn' || CAST(doc_id % 4 AS VARCHAR)
+                   || '.nl/img/' || CAST(doc_id % 7 AS VARCHAR)
+                   || '">z</a><a href="/about/' || CAST(doc_id % 3 AS VARCHAR)
+                   || '">a</a><a href="../w/' || CAST(doc_id % 11 AS VARCHAR)
+                   || '">r</a></body></html>' AS html
             FROM documents
         ),
         e AS (
-            SELECT unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS raw
+            SELECT url,
+                   unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS raw
             FROM pages
         ),
-        c AS (SELECT {canonical_url_oracle_sql('raw')} AS dst_url FROM e)
+        r AS (
+            SELECT {resolve_href_oracle_sql('url', 'raw')} AS abs_url FROM e
+        ),
+        c AS (SELECT {canonical_url_oracle_sql('abs_url')} AS dst_url FROM r)
         SELECT {url_host_oracle_sql('dst_url')} AS dst_host,
                CAST(COUNT(*) AS BIGINT) AS n_inlinks,
                CAST(COUNT(DISTINCT dst_url) AS BIGINT) AS n_distinct_pages

@@ -103,27 +103,139 @@ def canonical_url_oracle_sql(url_expr: str) -> str:
     )
 
 
+def _collapse_dots(p: Column) -> Column:
+    """Bounded dot-segment removal (RFC 3986 §5.2.4 "lite"): fixed global
+    replace passes, so the sequence is reproducible verbatim in DuckDB.
+    Two passes fold ``/./`` runs; four passes fold up to ~8 nested
+    ``segment/../`` levels (deeper nesting — unseen in real crawls — is
+    left partially collapsed rather than risking an unbounded loop)."""
+    p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    seg = r"([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"  # any segment except '.'/'..'
+    for _ in range(4):
+        p = F.regexp_replace(p, seg + r"/\.\./", "")
+    p = F.regexp_replace(p, seg + r"/\.\.$", "")
+    # clamp leftover leading '..' at the root, as browsers do ('/../o'->'/o')
+    p = F.regexp_replace(p, r"^(/\.\.)+(/|$)", "/")
+    return p
+
+
+def _collapse_dots_sql(p: str) -> str:
+    """DuckDB twin of :func:`_collapse_dots` (same passes, 'g' where the
+    Spark side's always-global replace matters)."""
+    p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+    p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+    p = f"regexp_replace({p}, '/\\.$', '/')"
+    seg = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+    for _ in range(4):
+        p = f"regexp_replace({p}, '{seg}/\\.\\./', '', 'g')"
+    p = f"regexp_replace({p}, '{seg}/\\.\\.$', '')"
+    p = f"regexp_replace({p}, '^(/\\.\\.)+(/|$)', '/')"
+    return p
+
+
+_ABS_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve ``href`` against ``base`` (RFC 3986 §5 "lite"), fully
+    native.  Per-site links — most links on the web — are relative; an
+    unresolved ``/about`` fragments the link graph into per-page islands.
+
+    - href with a scheme (``https://…``, ``mailto:…``) → unchanged;
+    - scheme-relative ``//host/p`` → base scheme + ``:`` + href;
+    - absolute path ``/p`` → base origin + path (dot-collapsed);
+    - ``#frag`` → base with its own fragment replaced;
+    - ``?q=…`` → base origin + base path + query;
+    - relative path ``p``, ``../p`` → base directory + href, dot-collapsed.
+
+    If ``base`` itself has no scheme the href passes through verbatim.
+    Everything is `when`/`concat`/`regexp_*` — zero Python per row — and
+    :func:`resolve_href_oracle_sql` is the exact DuckDB twin."""
+    bscheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    bhost = F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    bpath = F.regexp_extract(
+        base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    bpath = F.when(bpath == "", F.lit("/")).otherwise(bpath)
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    origin = F.concat(bscheme, F.lit("://"), bhost)
+    return (
+        F.when(bscheme == "", href)
+        .when(href.rlike(_ABS_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(bscheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, _collapse_dots(href)))
+        .when(
+            href.startswith("#"),
+            F.concat(F.regexp_replace(base, r"#.*", ""), href),
+        )
+        .when(href.startswith("?"), F.concat(origin, bpath, href))
+        .otherwise(F.concat(origin, _collapse_dots(F.concat(bdir, href))))
+    )
+
+
+def resolve_href_oracle_sql(base_expr: str, href_expr: str) -> str:
+    """DuckDB scalar expression equivalent to
+    ``resolve_href(base_expr, href_expr)``."""
+    bscheme = (
+        f"coalesce(regexp_extract({base_expr}, "
+        f"'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')"
+    )
+    bhost = (
+        f"coalesce(regexp_extract({base_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), '')"
+    )
+    bpath_raw = (
+        f"coalesce(regexp_extract({base_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
+    )
+    bpath = f"CASE WHEN {bpath_raw} = '' THEN '/' ELSE {bpath_raw} END"
+    bdir = f"regexp_replace({bpath}, '[^/]*$', '')"
+    origin = f"({bscheme} || '://' || {bhost})"
+    return (
+        f"(CASE "
+        f"WHEN {bscheme} = '' THEN {href_expr} "
+        f"WHEN regexp_matches({href_expr}, '{_ABS_SCHEME_RE}') THEN {href_expr} "
+        f"WHEN {href_expr} LIKE '//%' THEN {bscheme} || ':' || {href_expr} "
+        f"WHEN {href_expr} LIKE '/%' THEN {origin} || "
+        f"{_collapse_dots_sql(href_expr)} "
+        f"WHEN {href_expr} LIKE '#%' THEN "
+        f"regexp_replace({base_expr}, '#.*', '') || {href_expr} "
+        f"WHEN {href_expr} LIKE '?%' THEN {origin} || {bpath} || {href_expr} "
+        f"ELSE {origin} || {_collapse_dots_sql(f'({bdir} || {href_expr})')} "
+        f"END)"
+    )
+
+
 _HREF_RE = r'href="([^"]+)"'
 
 
 def extract_links(
-    df, html_col: str = "html", url_col: str = "url", canonical: bool = True
+    df,
+    html_col: str = "html",
+    url_col: str = "url",
+    canonical: bool = True,
+    resolve: bool = True,
 ):
     """(src_url, dst_url) edge list from anchor hrefs — the hyperlink-graph
     extraction stage of a crawl pipeline, fully native.
 
     ``html_col`` may be string or binary (cast to string — pages tables
     store html as binary per the input schema).  Each href becomes one
-    edge row; ``canonical=True`` normalizes destinations through
-    :func:`canonicalize_url` so the downstream graph (indegree, PageRank
-    over real links) keys on canonical pages, not tracking-param spam.
-    Relative hrefs are kept verbatim (no base-resolution — a production
-    crawl resolves against ``url_col`` with one extra concat_ws; the
-    fixture-free driver query uses absolute links only).
+    edge row.  ``resolve=True`` resolves relative hrefs (``/about``,
+    ``../x``, ``//host/p``, ``#frag``, ``?q=…`` — most links on real
+    pages) against the page's own URL via :func:`resolve_href`, so
+    per-site links land on the same destination key as their absolute
+    twins instead of fragmenting the graph.  ``canonical=True`` then
+    normalizes destinations through :func:`canonicalize_url` so the
+    downstream graph (indegree, PageRank over real links) keys on
+    canonical pages, not tracking-param spam.
 
     Scale shape: regexp_extract_all + explode per page, zero shuffles
-    until the caller aggregates; the regex runs inside codegen so link
-    extraction adds no Python to a 10^12-page scan."""
+    until the caller aggregates; regex + resolution + canonicalization
+    all run inside codegen so link extraction adds no Python to a
+    10^12-page scan."""
     from pyspark.sql import functions as F
 
     hrefs = F.expr(
@@ -132,6 +244,10 @@ def extract_links(
     edges = df.select(
         F.col(url_col).alias("src_url"), F.explode(hrefs).alias("dst_url")
     )
+    if resolve:
+        edges = edges.withColumn(
+            "dst_url", resolve_href(F.col("src_url"), F.col("dst_url"))
+        )
     if canonical:
         edges = edges.withColumn(
             "dst_url", canonicalize_url(F.col("dst_url"))
