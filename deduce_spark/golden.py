@@ -552,6 +552,33 @@ def golden_winnow(docs: pd.DataFrame) -> pd.DataFrame:
     ).astype("int64")
 
 
+def golden_substr_rolling(docs: pd.DataFrame) -> pd.DataFrame:
+    """Sequential replay of exact_substr_dup(method='rolling'): the same
+    substr_hashes_doc kernel per document, then plain-dict duplicate
+    accounting — pins the distributed two-shuffle path bit-for-bit."""
+    from collections import Counter
+
+    from deduce_spark.spark.textstats import substr_hashes_doc
+
+    per_doc = {
+        int(did): substr_hashes_doc(text)
+        for did, text in zip(docs["doc_id"], docs["text"])
+    }
+    owners = Counter()
+    for did, ghs in per_doc.items():
+        for gh in set(ghs):
+            owners[gh] += 1
+    rows = []
+    for did in sorted(per_doc):
+        ghs = per_doc[did]
+        n = len(ghs)
+        dup = sum(1 for gh in ghs if owners[gh] > 1)
+        rows.append((did, n, dup, (1000 * dup) // n if n else 0))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_grams", "n_dup_grams", "dup_permille"]
+    ).astype("int64")
+
+
 def golden_media() -> dict[str, pd.DataFrame]:
     from deduce_spark.spark.multimodal import (
         bmp_stats_one,
@@ -623,6 +650,7 @@ def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> Path:
     outputs["lsh_topk_embeddings"] = golden_lsh_topk(emb)
     outputs["ivf_topk_embeddings"] = golden_ivf(emb)
     outputs["winnow_fingerprints"] = golden_winnow(docs)
+    outputs["substr_dup_rolling"] = golden_substr_rolling(docs)
     outputs.update(golden_media())
 
     for name, df in outputs.items():

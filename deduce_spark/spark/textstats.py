@@ -334,12 +334,58 @@ def repetition_stats(
     )
 
 
+def substr_hashes_doc(text: str, k: int = 50, stride: int = 10) -> list[int]:
+    """Selected k-byte-window rolling hashes for ONE document — the O(n)
+    production selection kernel for :func:`exact_substr_dup`
+    (``method="rolling"``).  Module-level so the golden-fixture generator
+    (deduce_spark/golden.py) replays the EXACT kernel sequentially.
+
+    Same 61-bit polynomial rolling hash as :func:`winnow_doc`; a window is
+    selected iff ``h % stride == 0`` (content-defined, position-
+    independent — identical selection guarantee as the md5 path, just a
+    different, constant-per-position hash).  Returns the selected windows'
+    hash values in document order; the 61-bit hash doubles as the dedup
+    join key (collision odds ~2^-61 per pair — negligible for a permille
+    statistic).  Windows are k BYTES of the UTF-8 encoding (equal to k
+    chars on ASCII corpora; documented divergence from the char-based md5
+    oracle form)."""
+    import numpy as np
+
+    base = 1000003
+    mod_mask = (1 << 61) - 1
+    data = list(text.encode("utf-8", "replace"))
+    if len(data) < k:
+        return []
+    n = len(data) - k + 1
+    acc = 0
+    for j in range(k):
+        acc = (acc * base + data[j]) & mod_mask
+    top = base
+    for j in range(1, k):
+        top = (top * base) & mod_mask
+    out = [acc] if acc % stride == 0 else []
+    for i in range(1, n):
+        acc = (acc * base + data[i + k - 1] - (data[i - 1] * top)) & mod_mask
+        if acc % stride == 0:
+            out.append(acc)
+    return out
+
+
+_SUBSTR_SEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ghs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
 def exact_substr_dup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 50,
     stride: int = 10,
+    method: str = "md5",
 ) -> DataFrame:
     """Exact-substring duplication accounting (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): detect
@@ -360,12 +406,49 @@ def exact_substr_dup(
     shared with at least one OTHER document), dup_permille
     (integer, engine-exact).
 
-    Scale shape: per-row selection is an int-array filter (no k× text
-    blowup — grams materialize only for selected positions), then the
-    same two md5-keyed map-combinable shuffles as paragraph_dedup.  The
-    selection hash is md5-derived so DuckDB replays it exactly; a
-    production run would swap in the cheaper rolling hash from the
-    winnowing kernel — the orchestration is identical."""
+    Two selection hashes behind ``method``:
+
+    - ``"md5"`` (default): md5 per character position, pure SQL
+      expressions — O(n·k) hashing per document but exactly replayable by
+      the DuckDB oracle.  The correctness form.
+    - ``"rolling"``: O(n) 61-bit polynomial rolling hash
+      (:func:`substr_hashes_doc`), Arrow-batched ``mapInPandas``; the
+      hash value itself is the dedup key (8-byte long vs 32-byte md5
+      string — a 4× lighter shuffle).  The production form; pinned by a
+      sequential golden fixture (golden.py) rather than a SQL twin.
+
+    Scale shape (both methods): per-row selection with no k× text blowup
+    (grams/hashes materialize only for selected positions, expected
+    density 1/stride), then the same two map-combinable shuffles as
+    paragraph_dedup.  The selection output is evaluated once per consuming
+    subtree here (mirroring paragraph_dedup); a production job
+    materializes the selection table first and runs the accounting over
+    the parquet — jobs/ follow that pattern."""
+    if method == "rolling":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [int(d) for d in batch["doc_id"]],
+                        "ghs": [
+                            substr_hashes_doc(t, k, stride)
+                            for t in batch[text_col]
+                        ],
+                    }
+                )
+
+        sel = (
+            df.select(F.col(id_col).alias("doc_id"), text_col)
+            .mapInPandas(run, schema=_SUBSTR_SEL_SCHEMA)
+        )
+        totals = sel.select(
+            "doc_id", F.size("ghs").cast("long").alias("n_grams")
+        )
+        grams = sel.select("doc_id", F.explode("ghs").alias("gh"))
+        return _substr_dup_tail(totals, grams)
+    if method != "md5":
+        raise ValueError(f"unknown method {method!r}")
     h = (
         f"CAST(conv(substring(md5(substring({text_col}, i + 1, {k})), 1, 8), "
         f"16, 10) AS BIGINT)"
@@ -384,15 +467,22 @@ def exact_substr_dup(
             )
         ).alias("gram"),
     ).select("doc_id", F.md5("gram").alias("gh"))
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(n_grams_expr).cast("long").alias("n_grams"),
+    )
+    return _substr_dup_tail(totals, grams)
+
+
+def _substr_dup_tail(totals: DataFrame, grams: DataFrame) -> DataFrame:
+    """Shared accounting tail: (doc_id, n_grams) totals + (doc_id, gh)
+    selected grams -> per-doc duplication stats.  Two map-combinable
+    shuffles on the gram key, identical for both selection methods."""
     shared = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .select("gh")
-    )
-    totals = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(n_grams_expr).cast("long").alias("n_grams"),
     )
     dups = (
         grams.join(shared, "gh", "left_semi")
