@@ -139,6 +139,36 @@ def _mentions_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+def _mv_write(df: DataFrame, target: Path, partitions: int) -> None:
+    """Write an MV parquet dir ATOMICALLY: write to a tmp sibling, then
+    os.rename into place.  Two concurrent sessions (e.g. pytest + bench)
+    can both pass the _SUCCESS check and previously both overwrote the
+    same directory — one could read it mid-overwrite (ADVICE r3 #4).
+    rename is atomic within one filesystem; losing the race just discards
+    the tmp copy and adopts the winner's identical-content MV."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = target.parent / f".{target.name}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    df.repartition(partitions).write.mode("overwrite").parquet(str(tmp))
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        if (target / "_SUCCESS").exists():
+            # lost the race to a concurrent session — keep the winner's
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        # stale half-written directory from a crashed run: replace it
+        shutil.rmtree(target, ignore_errors=True)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (target / "_SUCCESS").exists():
+                raise
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-format mentions over the pages fixture, shared by every kg_*
     query — the materialized-view pattern a production pipeline uses
@@ -168,11 +198,15 @@ def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (mv / "_SUCCESS").exists():
             pipe = _pipeline(spark)
             pages = _pages_df(spark, sf_dir)
-            pipe.mentions_long(
-                pipe.annotate_pages(
-                    pages, lang="nl", with_text=False, with_redacted=False
-                )
-            ).repartition(8).write.mode("overwrite").parquet(str(mv))
+            _mv_write(
+                pipe.mentions_long(
+                    pipe.annotate_pages(
+                        pages, lang="nl", with_text=False, with_redacted=False
+                    )
+                ),
+                mv,
+                partitions=8,
+            )
         df = spark.read.parquet(str(mv)).cache()
         _MENTIONS_CACHE[key] = df
     return df
@@ -196,8 +230,8 @@ def _canon(spark: SparkSession, sf_dir: str):
         smap_p, nodes_p = mv / "surface_map.parquet", mv / "nodes.parquet"
         if not ((smap_p / "_SUCCESS").exists() and (nodes_p / "_SUCCESS").exists()):
             surface_map, nodes = kg.canonicalize(_mentions(spark, sf_dir))
-            surface_map.repartition(4).write.mode("overwrite").parquet(str(smap_p))
-            nodes.repartition(4).write.mode("overwrite").parquet(str(nodes_p))
+            _mv_write(surface_map, smap_p, partitions=4)
+            _mv_write(nodes, nodes_p, partitions=4)
         pair = (
             spark.read.parquet(str(smap_p)).cache(),
             spark.read.parquet(str(nodes_p)).cache(),
@@ -228,9 +262,7 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (mv / "_SUCCESS").exists():
             mentions = _mentions(spark, sf_dir)
             surface_map, _nodes = _canon(spark, sf_dir)
-            kg.triples(mentions, surface_map).repartition(8).write.mode(
-                "overwrite"
-            ).parquet(str(mv))
+            _mv_write(kg.triples(mentions, surface_map), mv, partitions=8)
         df = spark.read.parquet(str(mv)).cache()
         _TRIPLES_CACHE[key] = df
     return df
@@ -252,17 +284,16 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             / "cooc_edges.parquet"
         )
         if not (mv / "_SUCCESS").exists():
-            (
+            _mv_write(
                 _triples(spark, sf_dir)
                 .filter(F.col("pred") == "coOccursWith")
                 .select(
                     F.col("subj").cast("long").alias("a"),
                     F.col("obj").cast("long").alias("b"),
                 )
-                .distinct()
-                .repartition(4)
-                .write.mode("overwrite")
-                .parquet(str(mv))
+                .distinct(),
+                mv,
+                partitions=4,
             )
         df = spark.read.parquet(str(mv)).cache()
         _COOC_CACHE[key] = df

@@ -20,6 +20,7 @@ def decontam_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_max_grams: int = 5_000_000,
+    gate: str = "auto",
 ) -> DataFrame:
     """Per-document benchmark-contamination score: the fraction (permille)
     of the document's word ``n``-grams that appear in ANY benchmark text.
@@ -38,6 +39,16 @@ def decontam_overlap(
     Above the gate the join downgrades to a shuffled left-semi join —
     AQE still picks the cheapest physical join, and correctness is
     unchanged; only the no-shuffle fast path is lost.
+
+    Gate cost (round-4 reshape): the decision uses a METADATA-CHEAP upper
+    bound first — total benchmark words from one narrow aggregate (no
+    explode, no distinct, no shuffle; n-grams per row ≤ words per row).
+    Only when the bound is loose enough to matter (within 20× of the
+    threshold, where dedup could pull the true gram count back under) is
+    the exact distinct-gram count paid; that path recomputes the
+    benchmark explode once more inside the join instead of persisting it
+    — the benchmark side is small by construction, and nothing is left
+    cached for the session (ADVICE r3 #1).
     """
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
         words = f"split({text_col}, ' ')"
@@ -49,16 +60,30 @@ def decontam_overlap(
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
         return df.select(*cols, F.explode(F.expr(g)).alias("gram"))
 
-    # persist before the gate count: the same distinct gram set feeds the
-    # semi-join, so without a persist the benchmark explode+distinct runs
-    # twice (once for the count, once inside the join)
-    bench_grams = grams(benchmark, keep_id=False).distinct().persist()
-    # count-gate the broadcast; oversized benchmarks fall back to a
-    # shuffled semi-join.  NOTE the count is an eager job at
-    # DataFrame-construction time — the price of a data-dependent join
-    # strategy decision
-    if bench_grams.count() <= broadcast_max_grams:
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    # gate="broadcast"/"shuffle" skips the probe job entirely (zero jobs at
+    # construction) for callers who already know their benchmark's size
+    if gate == "broadcast":
+        return _decontam_tail(docs, F.broadcast(bench_grams), grams)
+    if gate == "shuffle":
+        return _decontam_tail(docs, bench_grams, grams)
+    if gate != "auto":
+        raise ValueError(f"unknown gate {gate!r}")
+    word_bound = (
+        benchmark.select(
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("w")
+        ).first()["w"]
+        or 0
+    )
+    if word_bound <= broadcast_max_grams or (
+        word_bound <= 20 * broadcast_max_grams
+        and bench_grams.count() <= broadcast_max_grams
+    ):
         bench_grams = F.broadcast(bench_grams)
+    return _decontam_tail(docs, bench_grams, grams)
+
+
+def _decontam_tail(docs: DataFrame, bench_grams, grams) -> DataFrame:
     doc_grams = grams(docs, keep_id=True)
     totals = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (

@@ -91,7 +91,14 @@ def _batch_minhash_sigs(
     total shingles so the permute matrix (and its arithmetic temporaries)
     stays bounded regardless of Arrow batch size × document length — a
     10k-row batch of 1k-word web documents would otherwise materialize a
-    multi-GB matrix per worker."""
+    multi-GB matrix per worker.
+
+    The bound is across documents, NOT within one: a single document
+    larger than the cap still forms one chunk (the reduceat segment must
+    cover the whole doc), so peak memory for a pathological single doc is
+    ``64 × its_shingles × 8 B`` — ~0.5 GB per million shingles.  A corpus
+    with multi-million-word single documents should cap document length
+    upstream (corpus_filter's max-words predicate) before signatures."""
     out: list[list[int]] = []
     chunk: list[np.ndarray] = []
     chunk_shingles = 0

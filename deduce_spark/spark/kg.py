@@ -238,6 +238,7 @@ def connected_components(
     edges = edges.cache()  # consumed by count + either CC path
     n_edges = edges.count()
     if n_edges == 0:
+        edges.unpersist()
         return spark.createDataFrame([], "surface_id long, component long")
     if n_edges <= local_threshold:
         parent: dict[int, int] = {}
@@ -249,6 +250,7 @@ def connected_components(
             return x
 
         pdf = edges.select("a", "b").toPandas()  # Arrow transfer, bounded
+        edges.unpersist()
         for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
             a, b = int(a), int(b)
             parent.setdefault(a, a)
@@ -288,6 +290,9 @@ def connected_components(
         return int(row["n"]), int(row["x"])
 
     cur = edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    # all_nodes and cur are both eagerly checkpointed; nothing reads the
+    # input cache again — release it here instead of leaking it per call
+    edges.unpersist()
     sig = _signature(cur)
     converged = False
     for _ in range(max_iter):
@@ -857,6 +862,7 @@ def incremental_canonicalize(
 def compact_canonicalize(
     surface_map: DataFrame,
     fuzzy_types: tuple[str, ...] = FUZZY_TYPES,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Periodic entity-merge compaction over an accumulated surface map.
 
@@ -876,6 +882,13 @@ def compact_canonicalize(
     surfaces always land in ONE new component — asserted cheaply below,
     because a violation (possible only if bucket caps truncated different
     pairs across runs) would silently corrupt downstream joins.
+
+    The returned frames are backed by two retained caches (the new
+    surface map and the id map — the LSH+CC chain must not recompute per
+    consumer).  Pass ``caches`` (a list) to receive those frames for
+    unpersisting once all writes are done; a caller that skips it simply
+    lets the session own them (fine for short-lived jobs, a leak for
+    long-lived maintenance loops — ADVICE r3 #2).
 
     Persist ``id_map`` next to the KG tables and remap edge tables with
     ``remap_triples`` so historical triples stay joinable.  Scale shape:
@@ -920,6 +933,8 @@ def compact_canonicalize(
             "components (bucket-cap truncation differed between runs); "
             "refusing to emit an ambiguous id_map"
         )
+    if caches is not None:
+        caches.extend([new_sm, id_map])
     id_map = id_map.select("old_entity_id", "new_entity_id")
     # same column order canonicalize() emits (join key first)
     out_sm = new_sm.select(

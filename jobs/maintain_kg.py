@@ -63,13 +63,18 @@ def run_merge_compaction(spark, root: str, engine=None) -> dict:
     sm_table = open_table(spark, str(out / "surface_map"))
     if not sm_table.exists():
         return {"skipped": "no surface_map table"}
-    new_sm, new_nodes, id_map = compact_canonicalize(sm_table.read(spark))
+    held_caches: list = []
+    new_sm, new_nodes, id_map = compact_canonicalize(
+        sm_table.read(spark), caches=held_caches
+    )
     changed = id_map.filter(
         F.col("old_entity_id") != F.col("new_entity_id")
     ).cache()
     n_changed = changed.count()
     if n_changed == 0:
         changed.unpersist()
+        for frame in held_caches:
+            frame.unpersist()
         return {"merged_entities": 0, "noop": True}
 
     if engine is None:
@@ -110,11 +115,11 @@ def run_merge_compaction(spark, root: str, engine=None) -> dict:
         summary={"run_id": run_id, "stage": "merge_compaction"},
     )
     changed.unpersist()
-    # compact_canonicalize's returned frames are backed by internal caches
-    # (the LSH+CC chain must not recompute per consumer); all writes are
-    # done, so release everything — this job owns its session when run via
-    # spark-submit, and a shared test session merely recomputes on demand
-    spark.catalog.clearCache()
+    # release exactly the caches compact_canonicalize retained — a global
+    # clearCache() would also evict OTHER jobs' cached MVs in a shared
+    # session (ADVICE r3 #2)
+    for frame in held_caches:
+        frame.unpersist()
     wall = time.monotonic() - t0
     report["wall_s"] = round(wall, 3)
     log.append(
@@ -187,7 +192,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master, app_name="maintain_kg")
     out: dict = {}
     if args.merge_compact:
-        out["merge_compaction"] = run_merge_compaction(spark, args.root)
+        # an ambiguous-split refusal (compact_canonicalize RuntimeError)
+        # must not abort routine compaction/snapshot-expiry below — record
+        # it in the report and carry on (ADVICE r3 #3)
+        try:
+            out["merge_compaction"] = run_merge_compaction(spark, args.root)
+        except RuntimeError as exc:
+            out["merge_compaction"] = {"error": str(exc)}
     report = run_maintenance(
         spark,
         args.root,
