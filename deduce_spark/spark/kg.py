@@ -269,6 +269,7 @@ def connected_components(
                 ),
             }
         )
+        connected_components.last_rounds = 0  # local union-find path
         # Arrow path: ~10x faster than a list-of-tuples createDataFrame
         return spark.createDataFrame(out)
     # every node must appear in the output, including those that converge
@@ -295,14 +296,19 @@ def connected_components(
     edges.unpersist()
     sig = _signature(cur)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _signature(nxt)
         cur = nxt
+        rounds += 1
         if nsig == sig:
             converged = True
             break
         sig = nsig
+    # observability: the 800k-scale stage breakdown reports convergence
+    # rounds (logarithmic in component diameter by construction)
+    connected_components.last_rounds = rounds
     if not converged:
         # an unconverged star set can label a node with a non-root
         # intermediate (split components) — surface it instead of silently

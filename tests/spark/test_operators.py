@@ -400,3 +400,43 @@ class TestFeatureHashEmbed:
         # 16 distinct words, each contributing exactly ±1 somewhere
         assert sum(abs(int(x)) for x in row["embedding"]) <= 16
         assert any(x != 0 for x in row["embedding"])
+
+
+class TestTextstatsFused:
+    """doc_textstats (round-4 scored form) fuses token_count +
+    quality_score + lang_id + fingerprint_md5 into one projection; values
+    must be bit-identical to the four individual operators."""
+
+    def test_matches_individual_operators(self, spark):
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(120)
+        )
+        fused = {r["doc_id"]: r.asDict() for r in textstats.textstats_all(docs).collect()}
+        tok = {r["doc_id"]: r.asDict() for r in textstats.token_count(docs).collect()}
+        qual = {r["doc_id"]: r.asDict() for r in textstats.quality_score(docs).collect()}
+        lang = {r["doc_id"]: r.asDict() for r in textstats.lang_id(docs).collect()}
+        fp = {r["doc_id"]: r.asDict() for r in textstats.fingerprint_md5(docs).collect()}
+        assert set(fused) == set(tok)
+        for did, f in fused.items():
+            assert f["ws_tokens"] == tok[did]["ws_tokens"]
+            assert f["bpe_tokens"] == tok[did]["bpe_tokens"]
+            for c in ("n_chars", "mean_word_len", "punct_ratio",
+                      "upper_ratio", "distinct_ratio", "quality"):
+                assert f[c] == qual[did][c], (did, c)
+            for c in ("score_nl", "score_en", "score_de", "pred_lang"):
+                assert f[c] == lang[did][c], (did, c)
+            assert f["fingerprint"] == fp[did]["fingerprint"]
+
+    def test_single_scan_single_codegen_projection(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            textstats.textstats_all(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one parquet scan, no shuffle, no Python anywhere
+        assert plan.count("Scan parquet") == 1
+        assert "Exchange" not in plan
+        assert "Python" not in plan
