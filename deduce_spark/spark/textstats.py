@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -184,42 +185,64 @@ def winnowing_fingerprint(
     return df.select("doc_id", text_col).mapInPandas(run, schema=_WINNOW_SCHEMA)
 
 
+_HASH_BASE = 1000003
+# base is odd, hence a unit mod 2^64 — the prefix trick below divides by
+# base powers via this inverse instead of an impossible integer division
+_HASH_IBASE = pow(_HASH_BASE, -1, 1 << 64)
+
+
+def _rolling_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """All k-gram 61-bit polynomial hashes of a uint64 byte array.
+
+    ``h[i] = (sum_j data[i+j] * base^(k-1-j)) mod 2^61``, computed in a
+    constant number of vectorized uint64 passes (independent of both n and
+    k) via weighted prefix sums: with ``Q[m] = sum_{j<m} data[j] *
+    base^(len-1-j)`` (wrapped cumsum), ``h[i] * base^(len-k-i) = Q[i+k] -
+    Q[i]`` mod 2^64, and base is invertible mod 2^64, so one multiply by
+    the precomputed inverse power recovers each window hash.  Bit-identical
+    to the previous sequential masked per-byte loop: every step here is
+    exact arithmetic mod 2^64, masking to the low 61 bits at the end is
+    reduction mod 2^61, and 2^61 | 2^64 — the same residue the masked
+    Horner recurrence produced.
+    """
+    m = data.size
+    n = m - k + 1
+    base = np.uint64(_HASH_BASE)
+    ibase = np.uint64(_HASH_IBASE)
+    # pows[t] = base^t mod 2^64, t in [0, m)
+    pows = np.full(m, base, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    np.multiply.accumulate(pows, out=pows)
+    # Q[j] = prefix sum of data[j] * base^(m-1-j), wrapped mod 2^64
+    q = np.empty(m + 1, dtype=np.uint64)
+    q[0] = np.uint64(0)
+    np.add.accumulate(data * pows[::-1], out=q[1:])
+    # ipows[t] = ibase^t mod 2^64, t in [0, n); window i divides by
+    # base^(m-k-i) i.e. multiplies by ipows reversed
+    ipows = np.full(n, ibase, dtype=np.uint64)
+    ipows[0] = np.uint64(1)
+    np.multiply.accumulate(ipows, out=ipows)
+    h = (q[k:] - q[:-k]) * ipows[::-1]
+    return h & np.uint64((1 << 61) - 1)
+
+
 def winnow_doc(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing fingerprint of one document (module-level so the
     golden-fixture generator replays the EXACT kernel outside Spark)."""
-    import numpy as np
-
-    # Arbitrary-precision Python ints with an explicit 61-bit mask: for any
-    # integer x (negative included), ``x & mod_mask`` is x mod 2^61 — the
-    # same residue the previous uint64 wraparound produced (mod 2^64
-    # preserves the low 61 bits), so fingerprints are value-identical, but
-    # the wraparound is now explicit instead of a numpy overflow warning.
-    base = 1000003
-    mod_mask = (1 << 61) - 1
     raw = text.lower().encode("utf-8", "replace")
-    data = list(raw)
-    if len(data) < k:
-        return [sum(data)] if data else []
-    # rolling hash over k-grams
-    n = len(data) - k + 1
-    h = np.zeros(n, dtype=np.uint64)
-    acc = 0
-    for j in range(k):
-        acc = (acc * base + data[j]) & mod_mask
-    h[0] = acc
-    top = base
-    for j in range(1, k):
-        top = (top * base) & mod_mask
-    for i in range(1, n):
-        acc = (acc * base + data[i + k - 1] - (data[i - 1] * top)) & mod_mask
-        h[i] = acc
+    data = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    if data.size < k:
+        return [int(data.sum())] if data.size else []
+    h = _rolling_kgram_hashes(data, k)
+    n = h.size
     # min per sliding window, dedup consecutive picks
     if n <= window:
         return [int(h.min())]
-    idx = np.array(
-        [i + int(h[i : i + window].argmin()) for i in range(n - window + 1)]
-    )
-    return [int(h[i]) for i in sorted(set(idx.tolist()))]
+    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+    # argmin takes the FIRST minimum per window — same tie-break as the
+    # previous per-window loop, so picked positions are identical
+    idx = np.arange(n - window + 1, dtype=np.int64) + wins.argmin(axis=1)
+    return h[np.unique(idx)].tolist()
 
 
 def paragraph_dedup(
@@ -349,26 +372,12 @@ def substr_hashes_doc(text: str, k: int = 50, stride: int = 10) -> list[int]:
     statistic).  Windows are k BYTES of the UTF-8 encoding (equal to k
     chars on ASCII corpora; documented divergence from the char-based md5
     oracle form)."""
-    import numpy as np
-
-    base = 1000003
-    mod_mask = (1 << 61) - 1
-    data = list(text.encode("utf-8", "replace"))
-    if len(data) < k:
+    raw = text.encode("utf-8", "replace")
+    data = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    if data.size < k:
         return []
-    n = len(data) - k + 1
-    acc = 0
-    for j in range(k):
-        acc = (acc * base + data[j]) & mod_mask
-    top = base
-    for j in range(1, k):
-        top = (top * base) & mod_mask
-    out = [acc] if acc % stride == 0 else []
-    for i in range(1, n):
-        acc = (acc * base + data[i + k - 1] - (data[i - 1] * top)) & mod_mask
-        if acc % stride == 0:
-            out.append(acc)
-    return out
+    h = _rolling_kgram_hashes(data, k)
+    return h[h % np.uint64(stride) == 0].tolist()
 
 
 _SUBSTR_SEL_SCHEMA = T.StructType(
