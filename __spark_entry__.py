@@ -648,8 +648,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relative hrefs against the page url (RFC-3986-lite) -> canonical
         # destination -> indegree per target host.  The fixture exercises
         # every href form a crawl sees: absolute, scheme-relative (//),
-        # absolute-path (/about), and dotted-relative (../w) — the latter
-        # three land on resolved hosts instead of fragmenting the graph
+        # absolute-path (/about), dotted-relative (../w) — plus the three
+        # attribute quoting forms (double-quoted, single-quoted, unquoted)
+        # and a spaced `href = "..."`, so the broadened extraction regexes
+        # are driver-scored, not just unit-tested
         from deduce_spark.spark.weburl import extract_links, url_host
 
         pages = _docs(spark, sf_dir).select(
@@ -670,7 +672,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("doc_id") % 3).cast("string"),
                 F.lit('">a</a><a href="../w/'),
                 (F.col("doc_id") % 11).cast("string"),
-                F.lit('">r</a></body></html>'),
+                F.lit("\">r</a><a href='/sq/"),
+                (F.col("doc_id") % 6).cast("string"),
+                F.lit("'>s</a><a HREF = \"https://sp.nl/q/"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('">v</a><a href=p/'),
+                (F.col("doc_id") % 8).cast("string"),
+                F.lit(">u</a></body></html>"),
             ).cast("binary").alias("html"),
         )
         edges = extract_links(pages, "html", "url", canonical=True)
@@ -1623,7 +1631,7 @@ def _url_hosts_oracle() -> str:
 
 def _link_graph_oracle() -> str:
     from deduce_spark.spark.weburl import (
-        canonical_url_oracle_sql, resolve_href_oracle_sql,
+        canonical_url_oracle_sql, href_extract_sql, resolve_href_oracle_sql,
         url_host_oracle_sql,
     )
 
@@ -1640,12 +1648,15 @@ def _link_graph_oracle() -> str:
                    || '.nl/img/' || CAST(doc_id % 7 AS VARCHAR)
                    || '">z</a><a href="/about/' || CAST(doc_id % 3 AS VARCHAR)
                    || '">a</a><a href="../w/' || CAST(doc_id % 11 AS VARCHAR)
-                   || '">r</a></body></html>' AS html
+                   || '">r</a><a href=''/sq/' || CAST(doc_id % 6 AS VARCHAR)
+                   || '''>s</a><a HREF = "https://sp.nl/q/'
+                   || CAST(doc_id % 3 AS VARCHAR)
+                   || '">v</a><a href=p/' || CAST(doc_id % 8 AS VARCHAR)
+                   || '>u</a></body></html>' AS html
             FROM documents
         ),
         e AS (
-            SELECT url,
-                   unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS raw
+            SELECT url, unnest({href_extract_sql('html')}) AS raw
             FROM pages
         ),
         r AS (

@@ -208,7 +208,29 @@ def resolve_href_oracle_sql(base_expr: str, href_expr: str) -> str:
     )
 
 
-_HREF_RE = r'href="([^"]+)"'
+# one pattern per HTML quoting form, group 1 = the href value.  (?i)
+# accepts HREF=/Href=; \s*=\s* accepts spaced attributes.  The forms are
+# mutually exclusive at any match start (after '=' a quote char fails the
+# unquoted class), so concatenating the three extractions never double-
+# counts an anchor.  Unquoted values stop at whitespace/quotes/<>/backtick;
+# '=' deliberately stays allowed — unquoted query-string hrefs are common
+# in the wild even though HTML5 forbids them.
+_HREF_RES = (
+    r'(?i)href\s*=\s*"([^"]+)"',
+    r"(?i)href\s*=\s*'([^']+)'",
+    "(?i)href\\s*=\\s*([^\\s\"'<>`]+)",
+)
+
+
+def href_extract_sql(html_expr: str) -> str:
+    """DuckDB twin of the href extraction inside :func:`extract_links`:
+    the same three RE2-portable patterns, one ``regexp_extract_all`` per
+    quoting form, list-concatenated in the same order."""
+    parts = [
+        f"regexp_extract_all({html_expr}, '" + p.replace("'", "''") + "', 1)"
+        for p in _HREF_RES
+    ]
+    return f"list_concat(list_concat({parts[0]}, {parts[1]}), {parts[2]})"
 
 
 def extract_links(
@@ -223,7 +245,9 @@ def extract_links(
 
     ``html_col`` may be string or binary (cast to string — pages tables
     store html as binary per the input schema).  Each href becomes one
-    edge row.  ``resolve=True`` resolves relative hrefs (``/about``,
+    edge row; double-quoted, single-quoted and unquoted attribute forms
+    are all parsed (``_HREF_RES``), case-insensitively and with optional
+    spaces around ``=``.  ``resolve=True`` resolves relative hrefs (``/about``,
     ``../x``, ``//host/p``, ``#frag``, ``?q=…`` — most links on real
     pages) against the page's own URL via :func:`resolve_href`, so
     per-site links land on the same destination key as their absolute
@@ -238,8 +262,9 @@ def extract_links(
     10^12-page scan."""
     from pyspark.sql import functions as F
 
-    hrefs = F.expr(
-        f"regexp_extract_all(CAST({html_col} AS STRING), '{_HREF_RE}', 1)"
+    html = F.col(html_col).cast("string")
+    hrefs = F.concat(
+        *[F.regexp_extract_all(html, F.lit(p), 1) for p in _HREF_RES]
     )
     edges = df.select(
         F.col(url_col).alias("src_url"), F.explode(hrefs).alias("dst_url")
