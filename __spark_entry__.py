@@ -159,8 +159,21 @@ def _mv_write(df: DataFrame, target: Path, partitions: int) -> None:
             # lost the race to a concurrent session — keep the winner's
             shutil.rmtree(tmp, ignore_errors=True)
             return
-        # stale half-written directory from a crashed run: replace it
-        shutil.rmtree(target, ignore_errors=True)
+        # Stale half-written directory from a crashed run.  Rename it
+        # ASIDE first (atomic), then delete the sibling: rmtree-in-place
+        # could destroy a directory a concurrent recoverer just renamed
+        # complete, briefly un-publishing a valid MV under a reader that
+        # already passed its _SUCCESS check.  The target path itself only
+        # ever changes by atomic rename.
+        stale = target.parent / (
+            f".{target.name}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            os.rename(target, stale)
+        except OSError:
+            pass  # someone else already moved/replaced it
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
         try:
             os.rename(tmp, target)
         except OSError:

@@ -238,6 +238,7 @@ def connected_components(
     edges = edges.cache()  # consumed by count + either CC path
     n_edges = edges.count()
     if n_edges == 0:
+        connected_components.last_rounds = 0  # don't leak a prior call's
         edges.unpersist()
         return spark.createDataFrame([], "surface_id long, component long")
     if n_edges <= local_threshold:

@@ -75,6 +75,11 @@ def exact_ntile(
     (value, tiebreak) — correctness never depends on the bin histogram,
     only parallelism does, and a follow-up re-split of oversized bins is
     a local refinement if ever needed.
+
+    NULL values rank first (bucket ``-1``, ordered by tiebreak within) —
+    the same NULLS FIRST placement ``ntile() OVER (ORDER BY value)``
+    gives, so the operator is a drop-in for the window form on nullable
+    columns too.
     """
     stats = df.agg(
         F.min(value_col).alias("lo"),
@@ -84,11 +89,16 @@ def exact_ntile(
     n = int(stats["n"])
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))
-    lo, hi = float(stats["lo"]), float(stats["hi"])
+    # min/max are NULL when every value is NULL; any finite anchor works
+    # then, since all rows land in the NULL bucket
+    lo = float(stats["lo"]) if stats["lo"] is not None else 0.0
+    hi = float(stats["hi"]) if stats["hi"] is not None else 0.0
     width = (hi - lo) / n_buckets or 1.0
-    bkt = F.least(
-        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
-        F.lit(n_buckets - 1),
+    bkt = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        )
     ).cast("long")
     bucketed = df.withColumn("_bkt", bkt)
     w_in = Window.partitionBy("_bkt").orderBy(value_col, tiebreak_col)

@@ -130,3 +130,27 @@ def test_golden_oracle_paths_parameterized_by_sf():
             assert path.exists(), f"missing committed fixture {path}"
     # driver default (no argument) is the sf0.01 tier it compares at
     assert "/golden/sf0.01/" in entry_mod.oracle_sql()["kg_pagerank"]
+
+
+def test_mv_fingerprint_fresh_all_tiers():
+    """A kernel/fixture/stage/kg edit rotates _mentions_fingerprint(); a
+    forgotten MV rewarm would hand the driver a cold multi-minute rebuild
+    inside its one-shot bench capture (round-4 lesson).  This test goes
+    red the moment the fingerprint rotates, until
+    ``python -m jobs.warm_mv`` (or any query touching the MVs at each
+    tier) has rebuilt and committed data/mv/<sf>-<fingerprint>/."""
+    from pathlib import Path
+
+    fp = entry_mod._mentions_fingerprint()
+    root = Path(entry_mod.__file__).resolve().parent / "data" / "mv"
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        base = root / f"{sf}-{fp}"
+        for table in (
+            "mentions.parquet", "surface_map.parquet", "nodes.parquet",
+            "triples.parquet", "cooc_edges.parquet",
+        ):
+            assert (base / table / "_SUCCESS").exists(), (
+                f"stale MV: {base / table} missing for current fingerprint "
+                f"{fp} — rebuild the MVs (run the kg_* queries at {sf} or "
+                f"python -m jobs.warm_mv) before the driver benches"
+            )
