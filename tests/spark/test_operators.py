@@ -440,3 +440,49 @@ class TestTextstatsFused:
         assert plan.count("Scan parquet") == 1
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestExactNtile:
+    """exact_ntile must be a drop-in for ntile() OVER (ORDER BY v, tb) —
+    including NULL values, which rank first (ADVICE r4: they were
+    silently dropped by the bucket join)."""
+
+    def _both(self, spark, rows, n_tiles):
+        from pyspark.sql import Window
+
+        from deduce_spark.spark.relational import exact_ntile
+
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {
+            r["id"]: r["tile"]
+            for r in exact_ntile(
+                df, "v", "id", n_tiles=n_tiles, n_buckets=7
+            ).collect()
+        }
+        w = Window.orderBy(F.col("v").asc_nulls_first(), "id")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select("id", F.ntile(n_tiles).over(w).alias("t")).collect()
+        }
+        return got, want
+
+    def test_matches_window_ntile_with_nulls(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, None if i % 5 == 0 else round(rng.uniform(-3, 3), 3))
+            for i in range(200)
+        ]
+        got, want = self._both(spark, rows, 10)
+        assert got == want
+
+    def test_all_null_values(self, spark):
+        rows = [(i, None) for i in range(9)]
+        got, want = self._both(spark, rows, 4)
+        assert got == want
+
+    def test_uneven_tiles_no_nulls(self, spark):
+        rows = [(i, float(i % 13)) for i in range(23)]
+        got, want = self._both(spark, rows, 5)
+        assert got == want
