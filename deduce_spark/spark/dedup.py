@@ -45,8 +45,12 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _word_shingles(text: str, n: int = 3) -> np.ndarray:
+def _word_shingles(
+    text: str, n: int = 3, max_words: int | None = None
+) -> np.ndarray:
     words = text.split()
+    if max_words is not None:
+        words = words[:max_words]
     if len(words) < n:
         joined = " ".join(words)
         return np.array([zlib.crc32(joined.encode("utf-8"))], dtype=np.uint64)
@@ -79,7 +83,9 @@ _MAX_CHUNK_SHINGLES = 1 << 20  # ~64 x 1M x 8B = 512 MB peak per temporary
 
 
 def _batch_minhash_sigs(
-    texts: list[str], shingle_words: int = 3
+    texts: list[str],
+    shingle_words: int = 3,
+    max_doc_words: int | None = None,
 ) -> list[list[int]]:
     """Batch-vectorized minhash: one (N_HASHES, chunk_shingles) permute
     matrix + segmented min (np.minimum.reduceat) instead of a per-document
@@ -96,9 +102,14 @@ def _batch_minhash_sigs(
     The bound is across documents, NOT within one: a single document
     larger than the cap still forms one chunk (the reduceat segment must
     cover the whole doc), so peak memory for a pathological single doc is
-    ``64 × its_shingles × 8 B`` — ~0.5 GB per million shingles.  A corpus
-    with multi-million-word single documents should cap document length
-    upstream (corpus_filter's max-words predicate) before signatures."""
+    ``64 × its_shingles × 8 B`` — ~0.5 GB per million shingles.
+    ``max_doc_words`` closes that hole: each document is clamped to its
+    first ``max_doc_words`` whitespace tokens BEFORE shingling, so one
+    doc's shingles — and with it the permute matrix — are hard-bounded at
+    ``64 × max_doc_words × 8 B`` no matter what the crawl feeds in (a
+    multi-hundred-MB book-dump page signs on its prefix instead of
+    blowing out the worker).  ``None`` keeps the exact full-document
+    semantics (the golden fixtures' form)."""
     out: list[list[int]] = []
     chunk: list[np.ndarray] = []
     chunk_shingles = 0
@@ -117,7 +128,7 @@ def _batch_minhash_sigs(
         chunk, chunk_shingles = [], 0
 
     for t in texts:
-        sh = _word_shingles(t, shingle_words)  # never empty
+        sh = _word_shingles(t, shingle_words, max_doc_words)  # never empty
         if chunk_shingles + len(sh) > _MAX_CHUNK_SHINGLES and chunk:
             flush()
         chunk.append(sh)
@@ -127,12 +138,18 @@ def _batch_minhash_sigs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_words: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    max_doc_words: int | None = None,
 ) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids = [int(d) for d in batch[id_col]]
-            sigs = _batch_minhash_sigs(list(batch[text_col]), shingle_words)
+            sigs = _batch_minhash_sigs(
+                list(batch[text_col]), shingle_words, max_doc_words
+            )
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=_SIG_SCHEMA)
@@ -145,6 +162,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     shingle_words: int = 3,
     max_bucket: int = 256,
+    max_doc_words: int | None = None,
 ) -> DataFrame:
     """(doc_id, canonical_id) for every doc in a near-dup cluster.
 
@@ -153,8 +171,15 @@ def minhash_dedup(
     bucket — template boilerplate at web scale — otherwise emits B²/2 join
     rows and stalls the stage.  Exact duplicates inside a dropped bucket are
     still caught by ``exact_dedup``; the cap trades a sliver of near-dup
-    recall for a bounded join."""
-    sigs = minhash_signatures(df, text_col, id_col, shingle_words).cache()
+    recall for a bounded join.
+
+    ``max_doc_words`` (recommended at crawl scale, e.g. ``1_000_000``)
+    clamps each document to its word prefix before shingling, bounding
+    the signature worker's peak memory against pathological single
+    documents — see :func:`_batch_minhash_sigs`."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_words, max_doc_words
+    ).cache()
     rows_per_band = N_HASHES // N_BANDS
     banded = sigs.select(
         "doc_id",
