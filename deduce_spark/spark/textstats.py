@@ -451,11 +451,54 @@ def exact_substr_dup(
             df.select(F.col(id_col).alias("doc_id"), text_col)
             .mapInPandas(run, schema=_SUBSTR_SEL_SCHEMA)
         )
-        totals = sel.select(
-            "doc_id", F.size("ghs").cast("long").alias("n_grams")
+        # Single-evaluation tail (the md5 form keeps the generic
+        # _substr_dup_tail; as the oracle twin it is never the scale
+        # path).  Every consumer sits above ONE (doc_id, gh) aggregation
+        # exchange, so Catalyst's ReuseExchange runs the Python kernel
+        # once and the other branches replay shuffle files — vs 3
+        # kernel evaluations through the generic tail.  Grouping by
+        # (doc_id, gh) up front also turns the shared-gram test from a
+        # countDistinct into a plain count of pre-deduped rows, and
+        # explode_outer keeps zero-gram docs alive (null gh never joins,
+        # so they contribute n_dup_grams = 0).
+        per = (
+            sel.select(
+                "doc_id",
+                F.size("ghs").cast("long").alias("n_grams"),
+                F.explode_outer("ghs").alias("gh"),
+            )
+            .groupBy("doc_id", "gh")
+            .agg(
+                F.count(F.lit(1)).alias("_m"),
+                F.max("n_grams").alias("n_grams"),
+            )
         )
-        grams = sel.select("doc_id", F.explode("ghs").alias("gh"))
-        return _substr_dup_tail(totals, grams)
+        shared = (
+            per.filter(F.col("gh").isNotNull())
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("_n_docs"))
+            .filter(F.col("_n_docs") > 1)
+            .select("gh", F.lit(1).alias("_sh"))
+        )
+        return (
+            per.join(shared, "gh", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.max("n_grams").alias("n_grams"),
+                F.sum(
+                    F.when(F.col("_sh") == 1, F.col("_m")).otherwise(0)
+                ).cast("long").alias("n_dup_grams"),
+            )
+            .select(
+                "doc_id",
+                "n_grams",
+                "n_dup_grams",
+                F.expr(
+                    "CASE WHEN n_grams = 0 THEN 0 "
+                    "ELSE (1000 * n_dup_grams) DIV n_grams END"
+                ).cast("long").alias("dup_permille"),
+            )
+        )
     if method != "md5":
         raise ValueError(f"unknown method {method!r}")
     h = (
