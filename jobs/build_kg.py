@@ -58,6 +58,7 @@ def run_job(
     kg_only: bool = False,
     person_col: str | None = None,
     incremental: bool = False,
+    commit_waves: int = 1,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.iceberg_catalog import open_table
@@ -168,45 +169,68 @@ def run_job(
     }
 
     # -- stage A: annotate -> mentions checkpoint (resumable) ---------------
+    # ``commit_waves > 1`` splits the todo parts into that many separately
+    # committed sub-jobs.  One giant write means a DRIVER failure anywhere
+    # in stage A loses every annotated row (Spark survives executor/task
+    # failures, not the driver); with waves, each committed wave's parts
+    # carry ok lineage rows, so a kill-restart resumes from the last
+    # committed wave instead of from zero — the checkpoint granularity a
+    # multi-hour 100 TB stage A needs.  A kill mid-wave is safe: the
+    # icetable snapshot commit is atomic and the lineage rows land only
+    # after it, so a torn wave is invisible and simply re-runs.
     if todo:
         t0 = time.monotonic()
         pipe = AnnotatePipeline(spark, engine)
-        subset = pages.filter(F.col("part_id").isin([int(p) for p in todo]))
-        annotated = pipe.annotate_pages(
-            subset, lang=lang, from_html=from_html,
-            with_text=False, with_redacted=False,
-            person_col=person_col,
-        )
-        mentions = (
-            pipe.mentions_long(annotated)
-            .withColumn("part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int"))
-            .repartition("part_id")  # one output file per part, not tasks x parts
-        )
-        man = mentions_table.write(
-            mentions,
-            partition_by=("part_id",),
-            mode="overwrite" if layout_changed else "overwrite-partitions",
-            summary={"run_id": run_id, "stage": "annotate", "n_parts": n_parts},
-        )
-        wall = time.monotonic() - t0
-        rows_out = {
-            int(e["partition"]["part_id"]): e["rows"]
-            for e in man["entries"]
-            if "part_id" in e["partition"]
-        }
-        log.append(
-            lin.part_records(
-                manifest_rows, todo, rows_out, seq, run_id,
-                man["snapshot_id"], wall,
+        n_waves = max(1, min(int(commit_waves), len(todo)))
+        wave_size = -(-len(todo) // n_waves)
+        waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
+        total_rows = 0
+        for w_i, wave in enumerate(waves):
+            t_w = time.monotonic()
+            subset = pages.filter(F.col("part_id").isin([int(p) for p in wave]))
+            annotated = pipe.annotate_pages(
+                subset, lang=lang, from_html=from_html,
+                with_text=False, with_redacted=False,
+                person_col=person_col,
             )
-            + [lin.stage_record(
-                "annotate", seq, run_id,
-                rows=man["summary"]["added_rows"], wall_s=wall,
-                snapshot_id=man["snapshot_id"], parts=len(todo),
-            )]
-        )
+            mentions = (
+                pipe.mentions_long(annotated)
+                .withColumn("part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int"))
+                .repartition("part_id")  # one output file per part, not tasks x parts
+            )
+            man = mentions_table.write(
+                mentions,
+                partition_by=("part_id",),
+                # a layout change must wipe the old-layout table exactly
+                # once; later waves add their partitions to the new layout
+                mode="overwrite" if (layout_changed and w_i == 0)
+                else "overwrite-partitions",
+                summary={"run_id": run_id, "stage": "annotate",
+                         "n_parts": n_parts},
+            )
+            wall_w = time.monotonic() - t_w
+            rows_out = {
+                int(e["partition"]["part_id"]): e["rows"]
+                for e in man["entries"]
+                if "part_id" in e["partition"]
+            }
+            log.append(
+                lin.part_records(
+                    manifest_rows, wave, rows_out, seq, run_id,
+                    man["snapshot_id"], wall_w,
+                )
+            )
+            total_rows += man["summary"]["added_rows"]
+        wall = time.monotonic() - t0
+        log.append([lin.stage_record(
+            "annotate", seq, run_id,
+            rows=total_rows, wall_s=wall,
+            snapshot_id=man["snapshot_id"], parts=len(todo),
+            waves=len(waves),
+        )])
         summary["annotate_wall_s"] = round(wall, 3)
-        summary["mentions_rows_written"] = man["summary"]["added_rows"]
+        summary["annotate_waves"] = len(waves)
+        summary["mentions_rows_written"] = total_rows
 
     # -- stage B: canonicalize + triples ------------------------------------
     from deduce_spark.spark.iceberg_catalog import open_table as _ot
@@ -410,6 +434,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="KG output root")
     ap.add_argument("--n-parts", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--commit-waves", type=int, default=1, metavar="W",
+                    help="split stage A into W separately committed waves "
+                         "so a driver failure resumes from the last "
+                         "committed wave instead of re-annotating "
+                         "everything (1 = single commit)")
     ap.add_argument("--lang", default="nl", help="'' disables the lang filter")
     ap.add_argument("--from-text", action="store_true",
                     help="use the text column instead of extracting from html")
@@ -453,6 +482,7 @@ def main(argv: list[str] | None = None) -> int:
             kg_only=args.kg_only,
             person_col=args.person_col,
             incremental=args.incremental,
+            commit_waves=args.commit_waves,
         )
     finally:
         spark.stop()

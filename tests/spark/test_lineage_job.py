@@ -373,3 +373,62 @@ class TestMergeCompactionJob:
 
         rep = run_merge_compaction(spark, str(tmp_path / "absent"))
         assert rep == {"skipped": "no surface_map table"}
+
+
+class TestCommitWaves:
+    """Stage A split into separately committed waves (--commit-waves): a
+    driver kill between waves must resume from the last committed wave,
+    and the waved build must be row-identical to the single-commit one."""
+
+    def test_kill_between_waves_resumes_from_checkpoint(
+        self, spark, engine, pages_path, tmp_path
+    ):
+        import build_kg as job_mod
+        from deduce_spark.spark.stages import AnnotatePipeline
+
+        out = tmp_path / "kg_waved"
+        calls = {"n": 0}
+        real = AnnotatePipeline.annotate_pages
+
+        def dying(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 3:  # waves 1-2 commit, "driver dies" in wave 3
+                raise RuntimeError("simulated driver death mid-stage-A")
+            return real(self, *a, **kw)
+
+        AnnotatePipeline.annotate_pages = dying
+        try:
+            with pytest.raises(RuntimeError, match="simulated driver death"):
+                run_job(
+                    spark, pages_path, str(out), n_parts=N_PARTS,
+                    engine=engine, commit_waves=4,
+                )
+        finally:
+            AnnotatePipeline.annotate_pages = real
+        # two waves of 2 parts each committed with ok lineage rows
+        log = lin.LineageLog(out / "_lineage")
+        committed = set(log.completed())
+        assert len(committed) == 4
+        # restart with resume: exactly the committed parts are skipped
+        s = run_job(
+            spark, pages_path, str(out), n_parts=N_PARTS,
+            engine=engine, commit_waves=4,
+        )
+        assert s["parts_skipped"] == 4
+        assert s["parts_processed"] == N_PARTS - 4
+        # and the final table is row-identical to an uninterrupted
+        # single-commit build
+        ref_out = tmp_path / "kg_ref"
+        run_job(spark, pages_path, str(ref_out), n_parts=N_PARTS,
+                engine=engine, commit_waves=1)
+        cols = ["url", "start_char", "end_char", "tag", "text"]
+
+        def table_hash(p):
+            df = IceTable(p / "mentions").read(spark)
+            return df.select(
+                F.bit_xor(F.xxhash64(*cols)).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+
+        a, b = table_hash(out), table_hash(ref_out)
+        assert (a["h"], a["n"]) == (b["h"], b["n"])
