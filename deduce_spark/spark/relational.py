@@ -52,6 +52,8 @@ def exact_ntile(
     n_tiles: int = 10,
     n_buckets: int = 256,
     out_col: str = "tile",
+    resplit_share: float = 0.5,
+    debug: dict | None = None,
 ) -> DataFrame:
     """Global ``NTILE(n)`` without a global sort (bit-identical result).
 
@@ -63,23 +65,44 @@ def exact_ntile(
        a pure function of the value, so bucket order coarsens the
        (value, tiebreak) sort order);
     3. ``row_number`` within each bucket — ``n_buckets`` parallel tasks;
-    4. per-bucket counts (a ≤ ``n_buckets``-row table) prefix-sum into
-       exclusive offsets and broadcast back;
+    4. per-bucket counts (a ≤ ``n_buckets``-row table) are collected —
+       bounded by construction — prefix-summed into exclusive offsets on
+       the driver, and broadcast-joined back;
     5. global rank = offset + within-bucket row_number, and the NTILE
        index follows arithmetically: with n rows and t tiles,
        q, r = divmod(n, t); ranks ≤ r*(q+1) land in tile
        ceil(rank/(q+1)); the rest in r + ceil((rank - r*(q+1))/q).
 
-    Equal-width bins are safe regardless of skew: a hot VALUE collapses
-    into one bin, but ``row_number`` within that bin still orders by
-    (value, tiebreak) — correctness never depends on the bin histogram,
-    only parallelism does, and a follow-up re-split of oversized bins is
-    a local refinement if ever needed.
+    Equal-width bins are CORRECT regardless of skew (bucket order always
+    coarsens the (value, tiebreak) order), but a hot VALUE collapses into
+    one bin and its ``row_number`` serializes.  The collected bin counts
+    make that visible for free: when the largest bin exceeds
+    ``resplit_share`` of all rows, the operator detects the hot VALUES
+    inside the oversized bins (a second bounded aggregation, filtered to
+    counts above the threshold before collecting) and rebuckets with a
+    deterministic composite key: each hot value gets its OWN block of
+    buckets, equal-width-binned on the TIEBREAK (value is constant
+    there, so tiebreak bins coarsen the order), and cold rows keep the
+    value bins, re-indexed by how many hot values precede them.  The
+    composite (2·|{h < v}| for cold, 2i+1 for hot h_i; then value-bin or
+    tiebreak-bin) is monotone in (value, tiebreak) — proof in the code —
+    so the same offsets + rank arithmetic stays exact.  Every expression
+    is a pure function of the row and driver constants: no sampling, so
+    repeated evaluations of the plan agree (``repartitionByRange`` was
+    rejected for exactly that reason — RangePartitioner re-samples per
+    job).  Residual serialization only when one (value, tiebreak) PAIR
+    exceeds the threshold, i.e. the rows are genuinely indistinguishable
+    to the sort — supply a higher-cardinality tiebreak then (the
+    operator's determinism contract already asks for one).
 
-    NULL values rank first (bucket ``-1``, ordered by tiebreak within) —
-    the same NULLS FIRST placement ``ntile() OVER (ORDER BY value)``
-    gives, so the operator is a drop-in for the window form on nullable
-    columns too.
+    String tiebreaks bin on their first 8 UTF-8 bytes via
+    ``conv(hex(substring))`` — monotone under Spark's binary string
+    collation, and float rounding of the 2^64 range is monotone too, so
+    order-consistency survives any precision loss.
+
+    NULL values rank first (bucket ``-1``, before every composite key) —
+    the same placement ``ntile() OVER (ORDER BY value)`` gives, so the
+    operator is a drop-in for the window form on nullable columns too.
     """
     stats = df.agg(
         F.min(value_col).alias("lo"),
@@ -101,16 +124,112 @@ def exact_ntile(
         )
     ).cast("long")
     bucketed = df.withColumn("_bkt", bkt)
-    w_in = Window.partitionBy("_bkt").orderBy(value_col, tiebreak_col)
-    w_off = (
-        Window.orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    )
-    offsets = F.broadcast(
-        bucketed.groupBy("_bkt")
+    counts = {
+        int(r["_bkt"]): int(r["_cnt"])
+        for r in bucketed.groupBy("_bkt")
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
-        .drop("_cnt")
+        .collect()  # ≤ n_buckets + 1 rows by construction
+    }
+    hot_bins = [
+        b for b, c in counts.items()
+        if b >= 0 and c > resplit_share * n and n > n_buckets
+    ]
+    did_resplit = False
+    if hot_bins:
+        # order-preserving tiebreak surrogate: numeric as-is; strings by
+        # their first 8 UTF-8 bytes (monotone under binary collation;
+        # double rounding of the 2^64 range is monotone, so precision
+        # loss can only merge neighboring sub-bins, never reorder them)
+        tb_type = dict(df.dtypes)[tiebreak_col]
+        if tb_type in ("string", "varchar"):
+            s_expr = F.expr(
+                f"CAST(conv(hex(substring({tiebreak_col}, 1, 8)), 16, 10) "
+                "AS DOUBLE)"
+            )
+        else:
+            s_expr = F.col(tiebreak_col).cast("double")
+        hot = sorted(
+            (
+                (
+                    r["_v"],
+                    float(r["_slo"]) if r["_slo"] is not None else 0.0,
+                    float(r["_shi"]) if r["_shi"] is not None else 0.0,
+                )
+                for r in df.withColumn("_bkt", bkt)
+                .filter(F.col("_bkt").isin([int(b) for b in hot_bins]))
+                .groupBy(F.col(value_col).alias("_v"))
+                .agg(
+                    F.count(F.lit(1)).alias("_c"),
+                    F.min(s_expr).alias("_slo"),
+                    F.max(s_expr).alias("_shi"),
+                )
+                .filter(F.col("_c") > resplit_share * n)  # ≤ 1/share rows
+                .collect()
+            ),
+            key=lambda t: t[0],
+        )
+        if hot:
+            # composite bucket, monotone in (value, tiebreak): primary =
+            # 2 * |{hot h < v}| for cold rows, 2i+1 for hot value h_i;
+            # secondary = global value bin (cold) or tiebreak bin (hot).
+            # Monotonicity: cold v1 < cold v2 -> |{h<v1}| <= |{h<v2}| and
+            # same primary means same hot-gap, where the value bin is
+            # monotone; cold v < h_i -> primary <= 2i < 2i+1; h_i < cold
+            # v -> 2i+1 < 2(i+1) <= primary; h_i rows order by tiebreak,
+            # which the tiebreak bin coarsens (value constant).  NULL
+            # value keeps bucket -1, below every composite key.
+            K = n_buckets + 1
+            prim = F.lit(0)
+            for i, (h, _, _) in enumerate(hot):
+                prim = prim + F.when(F.col(value_col) > F.lit(h), 2).otherwise(0)
+            sec = F.least(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(n_buckets - 1),
+            )
+            comp = prim * K + sec
+            for i, (h, slo, shi) in enumerate(hot):
+                swidth = (shi - slo) / n_buckets or 1.0
+                # NULL surrogate (NULL tiebreak, or e.g. conv('') for an
+                # empty string) sorts first -> sub-bin 0, matching the
+                # window's asc-nulls-first tiebreak order
+                tbin = F.coalesce(
+                    F.least(
+                        F.floor((s_expr - F.lit(slo)) / F.lit(swidth)),
+                        F.lit(n_buckets - 1),
+                    ),
+                    F.lit(0),
+                )
+                comp = F.when(
+                    F.col(value_col) == F.lit(h),
+                    F.lit((2 * i + 1) * K) + tbin,
+                ).otherwise(comp)
+            did_resplit = True
+            bkt = F.when(
+                F.col(value_col).isNull(), F.lit(-1)
+            ).otherwise(comp).cast("long")
+            bucketed = df.withColumn("_bkt", bkt)
+            counts = {
+                int(r["_bkt"]): int(r["_cnt"])
+                for r in bucketed.groupBy("_bkt")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .collect()  # ≤ (2·|hot|+1)·(n_buckets+1) rows, bounded
+            }
+    if debug is not None:  # caller-owned observability (tests, jobs)
+        debug.update(
+            n_buckets_used=len(counts),
+            max_bucket_rows=max(counts.values()),
+            resplit=did_resplit,
+        )
+    acc = 0
+    offs = []
+    for b in sorted(counts):
+        offs.append((b, acc))
+        acc += counts[b]
+    offsets = F.broadcast(
+        df.sparkSession.createDataFrame(offs, "_bkt long, _off long")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(
+        F.col(value_col).asc_nulls_first(), tiebreak_col
     )
     q, r = divmod(n, n_tiles)
     rank = F.col("_off") + F.row_number().over(w_in)

@@ -486,3 +486,72 @@ class TestExactNtile:
         rows = [(i, float(i % 13)) for i in range(23)]
         got, want = self._both(spark, rows, 5)
         assert got == want
+
+    def test_hot_value_skew_resplits_and_stays_exact(self, spark):
+        # 99.6% of rows share ONE value: equal-width bins collapse to a
+        # single bin whose row_number would serialize; the resplit path
+        # must (a) keep the result identical to window ntile and (b)
+        # actually spread the hot value over many tiebreak sub-bins
+        from pyspark.sql import Window
+
+        from deduce_spark.spark.relational import exact_ntile
+
+        rows = [(i, 7.0 if i % 250 else float(i)) for i in range(5000)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        dbg: dict = {}
+        got = exact_ntile(df, "v", "id", n_tiles=10, n_buckets=16, debug=dbg)
+        w = Window.orderBy(F.col("v").asc_nulls_first(), "id")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.ntile(10).over(w).alias("t")
+            ).collect()
+        }
+        assert {r["id"]: r["tile"] for r in got.collect()} == want
+        assert dbg["resplit"] is True
+        # the 4980-row hot value spread over ~16 tiebreak sub-bins
+        assert dbg["max_bucket_rows"] < 1000
+        assert dbg["n_buckets_used"] >= 16
+
+    def test_hot_value_with_string_tiebreak(self, spark):
+        # same skew but the tiebreak is a STRING: sub-bins come from the
+        # first-8-byte conv() surrogate, which must coarsen Spark's
+        # binary string order exactly
+        from pyspark.sql import Window
+
+        from deduce_spark.spark.relational import exact_ntile
+
+        rows = [
+            (i, f"key{i:06d}", 3.0 if i % 100 else float(i))
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "id long, k string, v double")
+        dbg: dict = {}
+        got = exact_ntile(df, "v", "k", n_tiles=7, n_buckets=8, debug=dbg)
+        w = Window.orderBy(F.col("v").asc_nulls_first(), "k")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select("id", F.ntile(7).over(w).alias("t")).collect()
+        }
+        assert {r["id"]: r["tile"] for r in got.collect()} == want
+        assert dbg["resplit"] is True and dbg["max_bucket_rows"] < 1000
+
+    def test_resplit_disabled_still_exact(self, spark):
+        from pyspark.sql import Window
+
+        from deduce_spark.spark.relational import exact_ntile
+
+        rows = [(i, 7.0 if i % 250 else float(i)) for i in range(3000)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        dbg: dict = {}
+        got = exact_ntile(
+            df, "v", "id", n_tiles=10, n_buckets=16,
+            resplit_share=1.1, debug=dbg,
+        )
+        w = Window.orderBy(F.col("v").asc_nulls_first(), "id")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select("id", F.ntile(10).over(w).alias("t")).collect()
+        }
+        assert {r["id"]: r["tile"] for r in got.collect()} == want
+        assert dbg["resplit"] is False
