@@ -390,6 +390,8 @@ _DEMOTED_ORDER = [
     "brands_traded_semi", "events_moving_avg", "orders_above_cust_avg",
     "events_value_buckets", "orders_daily_delta", "events_hourly",
     "segment_top_customers",
+    # round-5 breadth additions (scored window stays pinned at 50)
+    "heavy_hitter_words",
 ]
 
 
@@ -611,6 +613,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hll_registers(words, "word", p=9).orderBy("bucket")
 
     q["hll_words_registers"] = hll_words_registers
+
+    def heavy_hitter_words(spark, sf_dir):
+        # EXACT phi-heavy-hitter items via Misra-Gries sketch-then-verify
+        # (sketches.heavy_hitters): per-partition MG candidates (state and
+        # shuffle hard-bounded at k rows per partition regardless of
+        # vocabulary size) + broadcast-semi-join exact verify, so the
+        # output is the exact >= 2-permille set independent of
+        # partitioning.  The item column salts 30% of tokens with
+        # doc_id % 97 variants (the raw testdata vocabulary is only 31
+        # words, all heavy) so the candidate pruning genuinely exercises:
+        # ~2.6k distinct items, 30 true heavy hitters.
+        from deduce_spark.spark.sketches import heavy_hitters
+
+        items = (
+            _docs(spark, sf_dir)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            .select(
+                F.when(F.col("doc_id") % 10 < 7, F.col("word"))
+                .otherwise(
+                    F.concat(
+                        F.col("word"), F.lit("_"),
+                        (F.col("doc_id") % 97).cast("string"),
+                    )
+                )
+                .alias("item")
+            )
+        )
+        return heavy_hitters(items, "item", phi_permille=2)
+
+    q["heavy_hitter_words"] = heavy_hitter_words
 
     def substr_dup_docs(spark, sf_dir):
         # exact-substring duplication accounting (Lee et al. 2022 shape):
@@ -1621,6 +1653,18 @@ def _hll_words_oracle() -> str:
     return hll_oracle_sql(src, "word", p=9) + " ORDER BY bucket"
 
 
+def _heavy_hitter_oracle() -> str:
+    from deduce_spark.spark.sketches import heavy_hitters_oracle_sql
+
+    src = """
+        SELECT CASE WHEN doc_id % 10 < 7 THEN word
+               ELSE word || '_' || CAST(doc_id % 97 AS VARCHAR) END AS item
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+    """
+    return heavy_hitters_oracle_sql(src, "item", phi_permille=2)
+
+
 def _url_hosts_oracle() -> str:
     from deduce_spark.spark.weburl import (
         canonical_url_oracle_sql, url_host_oracle_sql,
@@ -2316,6 +2360,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
             ORDER BY doc_id, merged_start
         """,
         "hll_words_registers": _hll_words_oracle(),
+        "heavy_hitter_words": _heavy_hitter_oracle(),
         "substr_dup_docs": """
             WITH s AS (
                 SELECT doc_id,

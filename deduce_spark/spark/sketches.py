@@ -24,6 +24,7 @@ the float estimate remains available to callers.
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,6 +73,131 @@ def hll_oracle_sql(source_sql: str, col: str, p: int = 9) -> str:
         FROM ({source_sql})
         WHERE {col} IS NOT NULL
         GROUP BY 1
+    """
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    phi_permille: int = 2,
+    k: int | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy-hitters: every item whose count is at least
+    ``phi_permille``-per-mille of all (non-null) items, with its exact
+    count — without ever shuffling the full distinct-item set.
+
+    Two passes, the textbook sketch-then-verify shape:
+
+    1. **Candidates** (one Arrow-batched pass): each partition keeps a
+       Misra-Gries summary of at most ``k`` counters — per batch a
+       vectorized ``value_counts`` merges into the running summary, and
+       when it overflows, the batched MG decrement (subtract the
+       (k+1)-th largest counter value, drop the non-positive) prunes it
+       back.  Mergeable-summaries bound: total decrement per partition
+       is at most ``N_p / (k+1)``, so every item with local frequency
+       >= phi survives its partition's summary; and by averaging, an
+       item with GLOBAL frequency >= phi has local frequency >= phi in
+       at least one partition — no false negatives.  Each partition
+       emits <= k candidate rows plus one null-item marker row carrying
+       its item count, so the global total ``N`` comes from the sketch
+       output (bounded: (k+1) rows per partition) instead of a second
+       scan.
+    2. **Verify**: exact counts restricted to the candidate set — a
+       broadcast semi-join (candidates are <= k per partition, a few MB
+       even at thousands of partitions) then a map-combinable groupBy
+       whose shuffle carries at most (candidates x partitions) rows.
+       The exact integer filter ``cnt * 1000 >= phi_permille * N``
+       removes the sketch's false positives, so the OUTPUT is the exact
+       heavy-hitter set, independent of partitioning, batch order, and
+       k — the sketch only bounds memory/shuffle, never the answer
+       (same partitioning-invariance-by-construction discipline as the
+       quantized IVF/PageRank operators).
+
+    ``k`` defaults to ``ceil(1000 / phi_permille)`` — the smallest size
+    the no-false-negative guarantee allows; passing a smaller k raises.
+    The pass-1 sketch is cached (it feeds both the N aggregation and the
+    candidate side of the verify plan); the handle is appended to
+    ``caches`` if given (release after evaluating the result), else it
+    stays cached like minhash_dedup's signature table.
+
+    Scale: at 10^12 items the full groupBy(item) a naive exact count
+    needs shuffles one row per distinct (item, partition) — unbounded in
+    vocabulary size.  Here pass 1's state and shuffle are hard-bounded
+    at k rows per partition, and pass 2 touches only candidate rows.
+    """
+    if phi_permille < 1:
+        raise ValueError(f"phi_permille must be >= 1, got {phi_permille}")
+    k_min = -(-1000 // phi_permille)  # ceil(1000 / phi_permille)
+    if k is None:
+        k = k_min
+    elif k < k_min:
+        raise ValueError(
+            f"k={k} breaks the no-false-negative guarantee for "
+            f"phi_permille={phi_permille}; need k >= {k_min}"
+        )
+    cap = int(k)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        counts = None
+        n_p = 0
+        for b in batches:
+            s = b["item"]
+            n_p += len(s)
+            vc = s.value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > cap:
+                arr = counts.to_numpy()
+                # (cap+1)-th largest == (len-cap)-th smallest; subtracting
+                # it zeroes at least len-cap counters (batched MG step)
+                delta = np.partition(arr, len(arr) - cap - 1)[len(arr) - cap - 1]
+                counts = counts[arr > delta] - delta
+        cand = [] if counts is None else counts.index.tolist()
+        ests = [] if counts is None else [int(c) for c in counts.to_numpy()]
+        yield pd.DataFrame(
+            {"item": cand + [None], "cnt": ests + [n_p]}
+        )
+
+    src = items.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
+    sk = src.mapInPandas(run, schema="item string, cnt long").cache()
+    if caches is not None:
+        caches.append(sk)
+    n_total = (
+        sk.filter(F.col("item").isNull()).agg(F.sum("cnt")).collect()[0][0]
+        or 0
+    )
+    if n_total == 0:
+        return items.sparkSession.createDataFrame([], "item string, cnt long")
+    cands = sk.filter(F.col("item").isNotNull()).select("item").distinct()
+    return (
+        src.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") * 1000 >= int(phi_permille) * int(n_total))
+    )
+
+
+def heavy_hitters_oracle_sql(
+    source_sql: str, item_col: str, phi_permille: int = 2
+) -> str:
+    """DuckDB twin of :func:`heavy_hitters` over ``source_sql`` (a query
+    exposing ``item_col``): the exact definition the operator computes —
+    the sketch pass is an implementation detail the oracle never sees."""
+    return f"""
+        WITH hh_src AS (
+            SELECT CAST({item_col} AS VARCHAR) AS item
+            FROM ({source_sql}) WHERE {item_col} IS NOT NULL
+        )
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hh_src
+        GROUP BY item
+        HAVING COUNT(*) * 1000 >= {int(phi_permille)} * (
+            SELECT COUNT(*) FROM hh_src)
     """
 
 

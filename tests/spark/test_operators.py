@@ -555,3 +555,114 @@ class TestExactNtile:
         }
         assert {r["id"]: r["tile"] for r in got.collect()} == want
         assert dbg["resplit"] is False
+
+
+class TestHeavyHitters:
+    """sketches.heavy_hitters: exact phi-heavy-hitter set via per-partition
+    Misra-Gries candidates + broadcast-verified exact counts."""
+
+    @staticmethod
+    def _exact(pairs, phi_permille):
+        from collections import Counter
+
+        c = Counter(x for x in pairs if x is not None)
+        n = sum(c.values())
+        return {
+            w: m for w, m in c.items() if m * 1000 >= phi_permille * n
+        }
+
+    def _items_df(self, spark, values, parts):
+        return spark.createDataFrame(
+            [(v,) for v in values], "item string"
+        ).repartition(parts)
+
+    def test_matches_exact_on_skewed_data(self, spark):
+        from deduce_spark.spark.sketches import heavy_hitters
+
+        # zipf-ish: item_i appears ~3000/i times, plus a long rare tail
+        values = []
+        for i in range(1, 40):
+            values += [f"hot{i}"] * (3000 // i)
+        values += [f"rare{j}" for j in range(5000)]
+        want = self._exact(values, 5)
+        assert 0 < len(want) < 40  # discriminative fixture
+        got = {
+            r["item"]: r["cnt"]
+            for r in heavy_hitters(
+                self._items_df(spark, values, 7), phi_permille=5
+            ).collect()
+        }
+        assert got == want
+
+    def test_partitioning_invariant(self, spark):
+        from deduce_spark.spark.sketches import heavy_hitters
+
+        values = [f"w{i % 37}" for i in range(4000)] + [
+            f"r{j}" for j in range(2000)
+        ]
+        outs = []
+        for parts in (1, 3, 11):
+            outs.append(sorted(
+                (r["item"], r["cnt"])
+                for r in heavy_hitters(
+                    self._items_df(spark, values, parts), phi_permille=4
+                ).collect()
+            ))
+        assert outs[0] == outs[1] == outs[2]
+        assert outs[0] == sorted(self._exact(values, 4).items())
+
+    def test_spread_item_at_threshold_found(self, spark):
+        from deduce_spark.spark.sketches import heavy_hitters
+
+        # adversarial: the heavy item is spread evenly across partitions
+        # and sits exactly at the threshold (cnt * 1000 == phi * N), amid
+        # per-partition noise that would crowd a naive local top-k
+        noise = [f"n{j}" for j in range(990)]
+        values = (["edge"] * 10 + noise) * 6  # N=6000, edge=60 -> 10 permille
+        want = self._exact(values, 10)
+        assert want == {"edge": 60}
+        got = {
+            r["item"]: r["cnt"]
+            for r in heavy_hitters(
+                self._items_df(spark, values, 6), phi_permille=10
+            ).collect()
+        }
+        assert got == want
+
+    def test_sketch_state_bounded(self, spark):
+        from deduce_spark.spark.sketches import heavy_hitters
+
+        values = [f"d{j}" for j in range(8000)]  # all-distinct worst case
+        caches: list = []
+        parts = 5
+        out = heavy_hitters(
+            self._items_df(spark, values, parts),
+            phi_permille=20, caches=caches,
+        )
+        assert out.count() == 0  # nothing reaches 2% of 8000
+        (sk,) = caches
+        # <= k candidates + 1 marker row per partition, k = ceil(1000/20)
+        assert sk.count() <= parts * (50 + 1)
+        sk.unpersist()
+
+    def test_too_small_k_raises(self, spark):
+        from deduce_spark.spark.sketches import heavy_hitters
+
+        with pytest.raises(ValueError):
+            heavy_hitters(
+                self._items_df(spark, ["a"], 1), phi_permille=2, k=100
+            )
+
+    def test_nulls_and_empty(self, spark):
+        from deduce_spark.spark.sketches import heavy_hitters
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("a",), ("b",)], "item string"
+        )
+        got = {
+            r["item"]: r["cnt"]
+            for r in heavy_hitters(df, phi_permille=500).collect()
+        }
+        assert got == {"a": 2}  # nulls excluded from N (3 non-null)
+        empty = spark.createDataFrame([], "item string")
+        assert heavy_hitters(empty, phi_permille=2).count() == 0
