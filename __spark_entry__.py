@@ -391,7 +391,7 @@ _DEMOTED_ORDER = [
     "events_value_buckets", "orders_daily_delta", "events_hourly",
     "segment_top_customers",
     # round-5 breadth additions (scored window stays pinned at 50)
-    "heavy_hitter_words",
+    "heavy_hitter_words", "jaccard_prefix_pairs",
 ]
 
 
@@ -767,6 +767,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("a", "b")
 
     q["ngram_jaccard"] = ngram_jaccard
+
+    def jaccard_prefix_pairs(spark, sf_dir):
+        # EXACT prefix-filtered set-similarity self-join — the scale path
+        # for ngram_jaccard: only each doc's rarest-gram prefix generates
+        # candidates (hot grams never do), then exact verification over
+        # candidates only; the output SET is identical to the all-pairs
+        # form by the AllPairs/PPJoin prefix lemma (dedup.py docstring).
+        from deduce_spark.spark.dedup import jaccard_join_prefix
+
+        out = jaccard_join_prefix(
+            _docs(spark, sf_dir), n=3, threshold_permille=200
+        )
+        return out.orderBy("a", "b")
+
+    q["jaccard_prefix_pairs"] = jaccard_prefix_pairs
 
     def embed_topk(spark, sf_dir):
         from deduce_spark.spark.similarity import cosine_topk
@@ -2051,6 +2066,33 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.2
+            ORDER BY a, b
+        """,
+        "jaccard_prefix_pairs": """
+            WITH grams AS (
+                SELECT doc_id, list_distinct([
+                    string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]
+                    FOR i IN range(1, len(string_split(text, ' ')) - 1)
+                ]) AS gs
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+            sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
+            exploded AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+                FROM exploded l JOIN exploded r
+                  ON l.gram = r.gram AND l.doc_id < r.doc_id
+                GROUP BY l.doc_id, r.doc_id)
+            SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+                   CAST((1000 * n_common)
+                        // (sa.n_grams + sb.n_grams - n_common) AS BIGINT)
+                       AS jacc_permille
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE n_common * 1000 >= 200 * (sa.n_grams + sb.n_grams - n_common)
             ORDER BY a, b
         """,
         "embed_topk": """

@@ -666,3 +666,90 @@ class TestHeavyHitters:
         assert got == {"a": 2}  # nulls excluded from N (3 non-null)
         empty = spark.createDataFrame([], "item string")
         assert heavy_hitters(empty, phi_permille=2).count() == 0
+
+
+class TestJaccardPrefixJoin:
+    """dedup.jaccard_join_prefix: exact prefix-filtered set-similarity
+    self-join — output set identical to the all-pairs explode+join form."""
+
+    def _rand_docs(self, spark, seed, n_docs=60):
+        # deterministic word-salad with controlled near-dup structure
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        for d in range(n_docs):
+            if d % 3 == 2:
+                # near-dup of the previous doc: mutate a couple of words
+                base = rows[-1][1].split()
+                for _ in range(2):
+                    base[rng.randrange(len(base))] = rng.choice(vocab)
+                rows.append((d, " ".join(base)))
+            else:
+                rows.append(
+                    (d, " ".join(rng.choice(vocab) for _ in range(25)))
+                )
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("t_permille", [200, 500, 800])
+    def test_matches_allpairs_form(self, spark, t_permille):
+        from deduce_spark.spark.dedup import (
+            jaccard_join_prefix, ngram_jaccard_pairs,
+        )
+
+        df = self._rand_docs(spark, seed=t_permille)
+        want = {
+            (r["a"], r["b"], r["n_common"])
+            for r in ngram_jaccard_pairs(
+                df, n=3, threshold=t_permille / 1000.0
+            ).collect()
+        }
+        got = {
+            (r["a"], r["b"], r["n_common"])
+            for r in jaccard_join_prefix(
+                df, n=3, threshold_permille=t_permille
+            ).collect()
+        }
+        assert got == want
+        if t_permille == 500:
+            assert want  # fixture must exercise non-empty output
+
+    def test_prefix_candidates_prune(self, spark):
+        # at a high threshold the prefix join generates far fewer candidate
+        # pairs than the all-pairs gram join would (here: every doc shares
+        # hot grams with every other doc, but prefixes are rare grams)
+        from deduce_spark.spark.dedup import jaccard_join_prefix
+
+        hot = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (d, f"{hot} uniq{d}a uniq{d}b uniq{d}c uniq{d}d uniq{d}e")
+            for d in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = jaccard_join_prefix(df, n=3, threshold_permille=900)
+        # all docs share the 7 hot-phrase grams but none reach J >= 0.9
+        assert out.count() == 0
+
+    def test_permille_exact_at_boundary(self, spark):
+        from deduce_spark.spark.dedup import jaccard_join_prefix
+
+        # engineered pair: 7 common grams of 9 union -> 777 permille
+        rows = [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+                (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        at = jaccard_join_prefix(df, n=3, threshold_permille=777).collect()
+        assert [(r["a"], r["b"], r["jacc_permille"]) for r in at] == [(1, 2, 777)]
+        above = jaccard_join_prefix(df, n=3, threshold_permille=778).collect()
+        assert above == []
+
+    def test_short_docs_excluded(self, spark):
+        from deduce_spark.spark.dedup import jaccard_join_prefix
+
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "one two"), (3, "a b c d"), (4, "a b c d")],
+            "doc_id long, text string",
+        )
+        got = {(r["a"], r["b"]) for r in
+               jaccard_join_prefix(df, n=3, threshold_permille=500).collect()}
+        assert got == {(3, 4)}  # <n-word docs have no grams, like the oracle
