@@ -391,7 +391,7 @@ _DEMOTED_ORDER = [
     "events_value_buckets", "orders_daily_delta", "events_hourly",
     "segment_top_customers",
     # round-5 breadth additions (scored window stays pinned at 50)
-    "heavy_hitter_words", "jaccard_prefix_pairs",
+    "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
 ]
 
 
@@ -782,6 +782,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("a", "b")
 
     q["jaccard_prefix_pairs"] = jaccard_prefix_pairs
+
+    def pack_sequences_docs(spark, sf_dir):
+        # deterministic concat-and-split sequence packing (doc -> training
+        # pack assignment): two-phase exact global prefix sum over the
+        # md5 hash order (256-way parallel running sums + driver-side
+        # offsets, exact_ntile discipline), integer pack arithmetic
+        from deduce_spark.spark.curation import pack_sequences
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        return pack_sequences(docs, seq_len=512)
+
+    q["pack_sequences_docs"] = pack_sequences_docs
 
     def embed_topk(spark, sf_dir):
         from deduce_spark.spark.similarity import cosine_topk
@@ -2403,6 +2418,26 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         """,
         "hll_words_registers": _hll_words_oracle(),
         "heavy_hitter_words": _heavy_hitter_oracle(),
+        "pack_sequences_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS start_tok
+                FROM d)
+            SELECT doc_id, n_tokens,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS pack_id,
+                   CAST(start_tok % 512 AS BIGINT) AS pack_offset,
+                   CAST((start_tok + greatest(n_tokens, 1) - 1) // 512
+                        - start_tok // 512 + 1 AS BIGINT) AS n_spans
+            FROM s
+        """,
         "substr_dup_docs": """
             WITH s AS (
                 SELECT doc_id,

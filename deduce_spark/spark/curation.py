@@ -218,6 +218,79 @@ def token_budget_mix(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Concat-and-split sequence packing: the deterministic document ->
+    training-pack assignment used to turn a curated corpus into
+    fixed-length model-input sequences (documents are laid out in a
+    deterministic hash order, concatenated, and sliced every ``seq_len``
+    tokens; a document may straddle pack boundaries).
+
+    Emits per document: ``start_tok`` (global exclusive token offset),
+    ``pack_id`` (= start_tok DIV seq_len), ``pack_offset`` (= start_tok %
+    seq_len) and ``n_spans`` (how many packs the document touches — the
+    shard writer uses it to know which packs need this document's
+    bytes).  Zero-token documents count as touching the single pack at
+    their offset.
+
+    The global prefix sum reuses :func:`token_budget_mix`'s two-phase
+    shape (one global ``Window.orderBy`` would serialize the corpus on a
+    single task): md5-bucket running sums in 256 parallel tasks, then —
+    following ``exact_ntile``'s offsets discipline — the <=256-row
+    bucket-total table is collected (bounded by construction) and
+    prefix-summed on the driver into broadcast offsets.  Row-identical
+    to a single global window; every output column is exact integer
+    arithmetic, so the DuckDB twin is the one-window textbook form."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    hashed = docs.withColumn(
+        "h", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = hashed.groupBy("bkt").agg(
+        F.sum(tokens_col).alias("t")
+    ).collect()  # <= 256 rows by construction
+    acc = 0
+    offs = []
+    for r in sorted(totals, key=lambda r: r["bkt"]):
+        offs.append((r["bkt"], acc))
+        acc += int(r["t"] or 0)
+    offsets = F.broadcast(
+        docs.sparkSession.createDataFrame(offs, "bkt string, offset long")
+    )
+    return (
+        hashed.withColumn("running", F.sum(tokens_col).over(w_in))
+        .join(offsets, "bkt")
+        .withColumn(
+            "start_tok",
+            (F.col("offset") + F.col("running") - F.col(tokens_col))
+            .cast("long"),
+        )
+        .withColumn("pack_id", F.expr(f"start_tok DIV {int(seq_len)}"))
+        .withColumn("pack_offset", F.expr(f"start_tok % {int(seq_len)}"))
+        .withColumn(
+            "n_spans",
+            F.expr(
+                f"(start_tok + greatest({tokens_col}, 1) - 1) "
+                f"DIV {int(seq_len)}"
+            ) - F.col("pack_id") + 1,
+        )
+        .select(
+            id_col, F.col(tokens_col).cast("long").alias(tokens_col),
+            "start_tok", "pack_id", "pack_offset",
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
+    )
+
+
 def corpus_filter(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

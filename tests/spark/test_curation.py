@@ -1,6 +1,7 @@
 """Curation operator tests: decontamination overlap, stratified sampling,
 token-budget mixing — hand-computed expectations."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from deduce_spark.spark import curation
@@ -239,3 +240,83 @@ class TestDecontamBroadcastGate:
         }
         assert got == base
         assert (0, 3, 3, 1000) in got
+
+
+class TestPackSequences:
+    """curation.pack_sequences: deterministic concat-and-split doc->pack
+    assignment via two-phase exact global prefix sum."""
+
+    def test_matches_single_global_window(self, spark):
+        from pyspark.sql import Window
+
+        from deduce_spark.spark.curation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 900 + 1) for i in range(500)],
+            "doc_id long, n_tokens long",
+        ).repartition(7)
+        got = {
+            r["doc_id"]: (r["start_tok"], r["pack_id"], r["pack_offset"],
+                          r["n_spans"])
+            for r in pack_sequences(df, seq_len=2048).collect()
+        }
+        w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        ref = df.withColumn(
+            "start",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).collect()
+        for r in ref:
+            s, n = r["start"], r["n_tokens"]
+            assert got[r["doc_id"]] == (
+                s, s // 2048, s % 2048,
+                (s + max(n, 1) - 1) // 2048 - s // 2048 + 1,
+            )
+
+    def test_boundary_straddle_and_zero_tokens(self, spark):
+        from deduce_spark.spark.curation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 0), (3, 25), (4, 5)], "doc_id long, n_tokens long"
+        )
+        rows = {r["doc_id"]: r for r in pack_sequences(df, seq_len=8).collect()}
+        total = sum(r["n_tokens"] for r in rows.values())
+        assert total == 40
+        for r in rows.values():
+            s, n = r["start_tok"], r["n_tokens"]
+            assert r["pack_id"] == s // 8 and r["pack_offset"] == s % 8
+            # span count covers exactly the packs the doc's tokens touch
+            assert r["n_spans"] == (s + max(n, 1) - 1) // 8 - s // 8 + 1
+        # offsets tile the concatenation exactly: sorted starts are the
+        # exclusive prefix sums of token counts in the same order
+        ordered = sorted(rows.values(), key=lambda r: r["start_tok"])
+        acc = 0
+        for r in ordered:
+            assert r["start_tok"] == acc
+            acc += r["n_tokens"]
+
+    def test_partitioning_invariant(self, spark):
+        from deduce_spark.spark.curation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, i % 97 + 1) for i in range(300)], "doc_id long, n_tokens long"
+        )
+        outs = [
+            sorted(
+                (r["doc_id"], r["start_tok"], r["pack_id"])
+                for r in pack_sequences(df.repartition(p), seq_len=64).collect()
+            )
+            for p in (1, 4, 13)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_bad_seq_len_raises(self, spark):
+        from deduce_spark.spark.curation import pack_sequences
+
+        df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+        with pytest.raises(ValueError):
+            pack_sequences(df, seq_len=0)
