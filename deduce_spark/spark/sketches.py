@@ -76,6 +76,25 @@ def hll_oracle_sql(source_sql: str, col: str, p: int = 9) -> str:
     """
 
 
+def _mg_merge(counts, series, cap: int):
+    """One batched Misra-Gries step: fold a pandas Series of items into
+    the running counter Series (``None`` = empty), then — if over ``cap``
+    counters — subtract the (cap+1)-th largest counter value and drop the
+    non-positive (the mergeable-summaries batch decrement: each unit of
+    decrement is charged against > cap counters, so total decrement per
+    item stays <= N/(cap+1)).  Vectorized: value_counts + aligned add +
+    one np.partition; no per-item Python."""
+    import numpy as np
+
+    vc = series.value_counts()
+    counts = vc if counts is None else counts.add(vc, fill_value=0)
+    if len(counts) > cap:
+        arr = counts.to_numpy()
+        delta = np.partition(arr, len(arr) - cap - 1)[len(arr) - cap - 1]
+        counts = counts[arr > delta] - delta
+    return counts
+
+
 def heavy_hitters(
     items: DataFrame,
     item_col: str = "item",
@@ -139,7 +158,6 @@ def heavy_hitters(
     cap = int(k)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
         counts = None
@@ -147,14 +165,7 @@ def heavy_hitters(
         for b in batches:
             s = b["item"]
             n_p += len(s)
-            vc = s.value_counts()
-            counts = vc if counts is None else counts.add(vc, fill_value=0)
-            if len(counts) > cap:
-                arr = counts.to_numpy()
-                # (cap+1)-th largest == (len-cap)-th smallest; subtracting
-                # it zeroes at least len-cap counters (batched MG step)
-                delta = np.partition(arr, len(arr) - cap - 1)[len(arr) - cap - 1]
-                counts = counts[arr > delta] - delta
+            counts = _mg_merge(counts, s, cap)
         cand = [] if counts is None else counts.index.tolist()
         ests = [] if counts is None else [int(c) for c in counts.to_numpy()]
         yield pd.DataFrame(

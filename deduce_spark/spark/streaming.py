@@ -278,3 +278,94 @@ def hll_registers_stream(
     from deduce_spark.spark.sketches import hll_registers
 
     return hll_registers(stream_df, col, p=p)
+
+
+def heavy_hitters_stream(
+    stream_df: DataFrame,
+    item_col: str = "item",
+    n_buckets: int = 16,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming Misra-Gries maintenance: a bounded-state candidate
+    summary of the heaviest items ever seen on an unbounded stream (hot
+    domains, hot query terms — the monitoring surface a crawl pipeline
+    watches between exact batch recounts).
+
+    Items are hash-partitioned into ``n_buckets`` groups
+    (``pmod(xxhash64(item), n_buckets)``), and each group keeps ONE
+    Misra-Gries summary of at most ``k`` counters in
+    ``applyInPandasWithState`` state — total state is hard-bounded at
+    ``n_buckets * k`` counters forever, no watermark needed (the summary
+    is a running fold, never evicted).  Every item lives in exactly one
+    bucket, so the MG bound applies per substream: an item whose count
+    in its bucket exceeds ``n_seen_bucket / (k+1)`` is GUARANTEED to be
+    in that bucket's summary, and its reported ``mg_count``
+    underestimates its true count by at most that same bound (each
+    output row carries ``n_seen`` so callers can compute it).  Exact
+    counts come from a periodic batch verify over the candidate set —
+    :func:`deduce_spark.spark.sketches.heavy_hitters`'s second phase;
+    same sketch kernel (``sketches._mg_merge``) in both paths.
+
+    Emits each touched bucket's full current summary per micro-batch
+    (latest snapshot wins downstream — the idempotent icetable sink
+    pattern, like the sessionizer)."""
+    import pandas as pd
+
+    from deduce_spark.spark.sketches import _mg_merge
+
+    def update(key, pdfs, state):
+        (bucket,) = key
+        if state.exists:
+            items, counts, n_seen = state.get
+            counter = (
+                pd.Series(list(counts), index=list(items), dtype="float64")
+                if items
+                else None
+            )
+        else:
+            counter, n_seen = None, 0
+        for pdf in pdfs:
+            s = pdf["item"]
+            n_seen += len(s)
+            counter = _mg_merge(counter, s, k)
+        if counter is None or not len(counter):
+            state.update(([], [], int(n_seen)))
+            return iter([])
+        surv_items = [str(i) for i in counter.index.tolist()]
+        surv_counts = [int(c) for c in counter.to_numpy()]
+        state.update((surv_items, surv_counts, int(n_seen)))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "bucket": [int(bucket)] * len(surv_items),
+                        "item": surv_items,
+                        "mg_count": surv_counts,
+                        "n_seen": [int(n_seen)] * len(surv_items),
+                    }
+                )
+            ]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream_df.select(F.col(item_col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("item"), F.lit(int(n_buckets))).cast("int"),
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "bucket int, item string, mg_count long, n_seen long"
+            ),
+            stateStructType=(
+                "items array<string>, counts array<long>, n_seen long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

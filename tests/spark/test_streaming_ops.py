@@ -250,3 +250,67 @@ def test_hll_registers_stream_folds_to_batch_sketch(spark, tmp_path):
     }
     assert folded == batch
     assert len(folded) <= 64
+
+
+def test_heavy_hitters_stream_bounded_state_and_guarantee(spark, tmp_path):
+    """Streaming MG maintenance: a persistently heavy item survives batch
+    churn and a checkpoint restart; state stays <= k counters per bucket;
+    mg_count underestimates the true count by at most n_seen/(k+1)."""
+    src = tmp_path / "items"
+    ckpt = tmp_path / "ckpt_hh"
+    src.mkdir()
+    schema = "item string"
+    K = 8
+    latest: dict[tuple[int, str], tuple[int, int]] = {}
+    bucket_seen: dict[int, int] = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = st.heavy_hitters_stream(stream, "item", n_buckets=2, k=K)
+
+        def sink(batch_df, batch_id):
+            rows = batch_df.collect()
+            for b in {r["bucket"] for r in rows}:
+                # full-snapshot semantics: a touched bucket replaces its rows
+                for key in [key for key in latest if key[0] == b]:
+                    del latest[key]
+            for r in rows:
+                latest[(r["bucket"], r["item"])] = (r["mg_count"], r["n_seen"])
+                bucket_seen[r["bucket"]] = r["n_seen"]
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write_batch(values):
+        spark.createDataFrame([(v,) for v in values], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    true_hot = 0
+    for gen in range(3):
+        batch = ["hot"] * 40 + [f"churn{gen}_{j}" for j in range(60)]
+        true_hot += 40
+        write_batch(batch)
+        run_once()  # fresh query object, same checkpoint = restart
+
+    # bounded state: at most k surviving counters per bucket
+    per_bucket: dict[int, int] = {}
+    for (b, _i), _v in latest.items():
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert per_bucket and all(v <= K for v in per_bucket.values())
+    # the heavy item survives with a within-bound underestimate
+    hot = [(b, v) for (b, i), v in latest.items() if i == "hot"]
+    assert len(hot) == 1
+    (bucket, (mg_count, n_seen)) = hot[0]
+    assert mg_count <= true_hot
+    assert true_hot - mg_count <= n_seen // (K + 1)
+    # n_seen on the hot bucket covers every item hashed there (120 hots
+    # plus that bucket's churn share), never the whole stream
+    assert n_seen >= true_hot
+    assert n_seen <= 300
