@@ -321,6 +321,65 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _link_pages(spark, sf_dir):
+    """Synthetic crawl pages (url, html binary) derived from doc_id with
+    the same expression both engines — shared by link_graph_indegree and
+    anchor_text_by_host.  The HTML exercises every href form a crawl
+    sees: absolute, scheme-relative (//), absolute-path (/about),
+    dotted-relative (../w) — plus the three attribute quoting forms
+    (double-quoted, single-quoted, unquoted) and a spaced `HREF = "..."`.
+    The SQL twin is _LINK_PAGES_SQL below; keep them in lock-step."""
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://src"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".nl/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><body><p>t</p><a href="HTTP://WWW.Site'),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".nl:80/art/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit('?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">y</a><a href="//cdn'),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".nl/img/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">z</a><a href="/about/'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('">a</a><a href="../w/'),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit("\">r</a><a href='/sq/"),
+            (F.col("doc_id") % 6).cast("string"),
+            F.lit("'>s</a><a HREF = \"https://sp.nl/q/"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('">v</a><a href=p/'),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(">u</a></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+
+
+# DuckDB twin of _link_pages (a FROM-able CTE body over `documents`).
+_LINK_PAGES_SQL = """
+    SELECT 'https://src' || CAST(doc_id % 9 AS VARCHAR)
+           || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url,
+           '<html><body><p>t</p><a href="HTTP://WWW.Site'
+           || CAST(doc_id % 13 AS VARCHAR) || '.nl:80/art/'
+           || CAST(doc_id % 97 AS VARCHAR)
+           || '?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'
+           || CAST(doc_id % 5 AS VARCHAR)
+           || '">y</a><a href="//cdn' || CAST(doc_id % 4 AS VARCHAR)
+           || '.nl/img/' || CAST(doc_id % 7 AS VARCHAR)
+           || '">z</a><a href="/about/' || CAST(doc_id % 3 AS VARCHAR)
+           || '">a</a><a href="../w/' || CAST(doc_id % 11 AS VARCHAR)
+           || '">r</a><a href=''/sq/' || CAST(doc_id % 6 AS VARCHAR)
+           || '''>s</a><a HREF = "https://sp.nl/q/'
+           || CAST(doc_id % 3 AS VARCHAR)
+           || '">v</a><a href=p/' || CAST(doc_id % 8 AS VARCHAR)
+           || '>u</a></body></html>' AS html
+    FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline over sf0.001-scale pages — annotate,
     canonicalize, emit triples, count per predicate/type."""
@@ -392,6 +451,7 @@ _DEMOTED_ORDER = [
     "segment_top_customers",
     # round-5 breadth additions (scored window stays pinned at 50)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
+    "anchor_text_by_host",
 ]
 
 
@@ -699,34 +759,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are driver-scored, not just unit-tested
         from deduce_spark.spark.weburl import extract_links, url_host
 
-        pages = _docs(spark, sf_dir).select(
-            F.concat(F.lit("https://src"), (F.col("doc_id") % 9).cast("string"),
-                     F.lit(".nl/p/"), F.col("doc_id").cast("string")).alias("url"),
-            F.concat(
-                F.lit('<html><body><p>t</p><a href="HTTP://WWW.Site'),
-                (F.col("doc_id") % 13).cast("string"),
-                F.lit(".nl:80/art/"),
-                (F.col("doc_id") % 97).cast("string"),
-                F.lit('?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'),
-                (F.col("doc_id") % 5).cast("string"),
-                F.lit('">y</a><a href="//cdn'),
-                (F.col("doc_id") % 4).cast("string"),
-                F.lit(".nl/img/"),
-                (F.col("doc_id") % 7).cast("string"),
-                F.lit('">z</a><a href="/about/'),
-                (F.col("doc_id") % 3).cast("string"),
-                F.lit('">a</a><a href="../w/'),
-                (F.col("doc_id") % 11).cast("string"),
-                F.lit("\">r</a><a href='/sq/"),
-                (F.col("doc_id") % 6).cast("string"),
-                F.lit("'>s</a><a HREF = \"https://sp.nl/q/"),
-                (F.col("doc_id") % 3).cast("string"),
-                F.lit('">v</a><a href=p/'),
-                (F.col("doc_id") % 8).cast("string"),
-                F.lit(">u</a></body></html>"),
-            ).cast("binary").alias("html"),
+        edges = extract_links(
+            _link_pages(spark, sf_dir), "html", "url", canonical=True
         )
-        edges = extract_links(pages, "html", "url", canonical=True)
         return (
             edges.withColumn("dst_host", url_host(F.col("dst_url")))
             .groupBy("dst_host")
@@ -738,6 +773,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["link_graph_indegree"] = link_graph_indegree
+
+    def anchor_text_by_host(spark, sf_dir):
+        # anchor-text aggregation per destination host — the classic
+        # entity-naming evidence a KG pipeline collects ("what does the
+        # web call this page?").  Whole-tag regex keeps each href paired
+        # with ITS anchor text; same resolve/canonicalize chain as
+        # link_graph_indegree over the shared _link_pages fixture.
+        from deduce_spark.spark.weburl import extract_anchors, url_host
+
+        anchors = extract_anchors(
+            _link_pages(spark, sf_dir), "html", "url", canonical=True
+        )
+        return (
+            anchors.withColumn("dst_host", url_host(F.col("dst_url")))
+            .groupBy("dst_host", "anchor")
+            .agg(
+                F.count(F.lit(1)).alias("n_links"),
+                F.countDistinct("dst_url").alias("n_pages"),
+            )
+            .orderBy("dst_host", "anchor")
+        )
+
+    q["anchor_text_by_host"] = anchor_text_by_host
 
     def embed_hash_docs(spark, sf_dir):
         # hashing-trick document embeddings (no vocab, no training, no
@@ -1723,25 +1781,7 @@ def _link_graph_oracle() -> str:
     )
 
     return f"""
-        WITH pages AS (
-            SELECT 'https://src' || CAST(doc_id % 9 AS VARCHAR)
-                   || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url,
-                   '<html><body><p>t</p><a href="HTTP://WWW.Site'
-                   || CAST(doc_id % 13 AS VARCHAR) || '.nl:80/art/'
-                   || CAST(doc_id % 97 AS VARCHAR)
-                   || '?utm_source=s&r=2#f">x</a><a href="https://hub.nl/h/'
-                   || CAST(doc_id % 5 AS VARCHAR)
-                   || '">y</a><a href="//cdn' || CAST(doc_id % 4 AS VARCHAR)
-                   || '.nl/img/' || CAST(doc_id % 7 AS VARCHAR)
-                   || '">z</a><a href="/about/' || CAST(doc_id % 3 AS VARCHAR)
-                   || '">a</a><a href="../w/' || CAST(doc_id % 11 AS VARCHAR)
-                   || '">r</a><a href=''/sq/' || CAST(doc_id % 6 AS VARCHAR)
-                   || '''>s</a><a HREF = "https://sp.nl/q/'
-                   || CAST(doc_id % 3 AS VARCHAR)
-                   || '">v</a><a href=p/' || CAST(doc_id % 8 AS VARCHAR)
-                   || '>u</a></body></html>' AS html
-            FROM documents
-        ),
+        WITH pages AS ({_LINK_PAGES_SQL}),
         e AS (
             SELECT url, unnest({href_extract_sql('html')}) AS raw
             FROM pages
@@ -1754,6 +1794,31 @@ def _link_graph_oracle() -> str:
                CAST(COUNT(*) AS BIGINT) AS n_inlinks,
                CAST(COUNT(DISTINCT dst_url) AS BIGINT) AS n_distinct_pages
         FROM c GROUP BY 1 ORDER BY dst_host
+    """
+
+
+def _anchor_text_oracle() -> str:
+    from deduce_spark.spark.weburl import (
+        anchor_extract_sql, canonical_url_oracle_sql,
+        resolve_href_oracle_sql, url_host_oracle_sql,
+    )
+
+    return f"""
+        WITH pages AS ({_LINK_PAGES_SQL}),
+        a AS ({anchor_extract_sql('html', 'url', 'pages')}),
+        r AS (
+            SELECT {resolve_href_oracle_sql('src_url', 'dst_url')} AS abs_url,
+                   anchor
+            FROM a
+        ),
+        c AS (
+            SELECT {canonical_url_oracle_sql('abs_url')} AS dst_url, anchor
+            FROM r
+        )
+        SELECT {url_host_oracle_sql('dst_url')} AS dst_host, anchor,
+               CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT dst_url) AS BIGINT) AS n_pages
+        FROM c GROUP BY 1, 2 ORDER BY dst_host, anchor
     """
 
 
@@ -2466,6 +2531,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         """,
         "url_canonical_hosts": _url_hosts_oracle(),
         "link_graph_indegree": _link_graph_oracle(),
+        "anchor_text_by_host": _anchor_text_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

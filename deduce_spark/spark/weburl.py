@@ -278,3 +278,86 @@ def extract_links(
             "dst_url", canonicalize_url(F.col("dst_url"))
         )
     return edges
+
+
+_ANCHOR_TAG_RE = r"(?i)(<a\s[^>]*>[^<]*</a>)"
+_ANCHOR_TEXT_RE = r">([^<]*)<"
+
+
+def extract_anchors(
+    df,
+    html_col: str = "html",
+    url_col: str = "url",
+    canonical: bool = True,
+    resolve: bool = True,
+):
+    """(src_url, dst_url, anchor) rows from anchor tags — link extraction
+    WITH the anchor text, the classic entity-naming evidence a KG
+    pipeline aggregates per destination ("what does the web call this
+    page?").
+
+    A whole-tag regex (``<a\\s[^>]*>[^<]*</a>``) keeps each href aligned
+    with ITS anchor text (extracting hrefs and texts separately would
+    lose the pairing); per tag, the three href quoting forms are tried
+    via ``coalesce(nullif(...))`` — both engines return '' for a
+    non-matching ``regexp_extract``, so the chain is portable verbatim.
+    Anchors containing nested markup (``<b>…``) are excluded by the
+    ``[^<]*`` inner-text class — same documented-honesty tradeoff as the
+    attribute grammar in ``_HREF_RES``.  Resolution/canonicalization of
+    destinations follows :func:`extract_links`.
+
+    Scale shape: regexp + explode + codegen expressions only — no
+    Python, no shuffle until the caller aggregates."""
+    from pyspark.sql import functions as F
+
+    html = F.col(html_col).cast("string")
+    tags = df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit(_ANCHOR_TAG_RE), 1)
+        ).alias("tag"),
+    )
+    href = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract("tag", p, 1), F.lit(""))
+            for p in _HREF_RES
+        ]
+    )
+    out = tags.select(
+        "src_url",
+        href.alias("dst_url"),
+        F.regexp_extract("tag", _ANCHOR_TEXT_RE, 1).alias("anchor"),
+    ).filter(F.col("dst_url").isNotNull())
+    if resolve:
+        out = out.withColumn(
+            "dst_url", resolve_href(F.col("src_url"), F.col("dst_url"))
+        )
+    if canonical:
+        out = out.withColumn("dst_url", canonicalize_url(F.col("dst_url")))
+    return out
+
+
+def anchor_extract_sql(
+    html_expr: str, url_expr: str, from_sql: str = "pages"
+) -> str:
+    """DuckDB twin of the tag-level part of :func:`extract_anchors`:
+    returns a FROM-able subquery producing (src_url, dst_url, anchor)
+    over ``from_sql``, with dst_url still unresolved (feed it through
+    ``resolve_href_oracle_sql`` / ``canonical_url_oracle_sql`` exactly
+    like the Spark path chains resolve/canonicalize)."""
+    parts = [
+        "NULLIF(regexp_extract(tag, '" + p.replace("'", "''") + "', 1), '')"
+        for p in _HREF_RES
+    ]
+    href = "COALESCE(" + ", ".join(parts) + ")"
+    return f"""
+        SELECT src_url, {href} AS dst_url,
+               regexp_extract(tag, '{_ANCHOR_TEXT_RE}', 1) AS anchor
+        FROM (
+            SELECT {url_expr} AS src_url,
+                   unnest(regexp_extract_all({html_expr},
+                          '{_ANCHOR_TAG_RE}', 1)) AS tag
+            FROM {from_sql}
+        )
+        WHERE {href} IS NOT NULL
+    """

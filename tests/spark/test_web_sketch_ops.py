@@ -269,6 +269,66 @@ class TestExtractLinks:
         ]
 
 
+class TestExtractAnchors:
+    def test_href_anchor_pairing(self, spark):
+        # each href must stay paired with ITS OWN anchor text across all
+        # three quoting forms — extracting hrefs and texts separately
+        # would shear the pairing
+        from deduce_spark.spark.weburl import extract_anchors
+
+        html = (
+            '<a href="https://d.nl/dq">alpha</a><p>noise</p>'
+            "<a href='/sq'>beta</a>"
+            "<a href=uq/page>gamma</a>"
+            '<a HREF = "https://d.nl/spaced">delta</a>'
+            "<a rel=nofollow>no-href dropped</a>"
+            "<a href=https://d.nl/markup><b>skipped: nested markup</b></a>"
+        )
+        pages = spark.createDataFrame(
+            [("https://a.nl/x/1", html)], "url string, html string"
+        )
+        got = sorted(
+            (r["dst_url"], r["anchor"])
+            for r in extract_anchors(pages, "html", "url").collect()
+        )
+        assert got == [
+            ("https://a.nl/sq", "beta"),
+            ("https://a.nl/x/uq/page", "gamma"),
+            ("https://d.nl/dq", "alpha"),
+            ("https://d.nl/spaced", "delta"),
+        ]
+
+    def test_twin_parity(self, spark):
+        from deduce_spark.spark.weburl import anchor_extract_sql, extract_anchors
+
+        html = (
+            '<a href="https://d.nl/dq">alpha</a>'
+            "<a href='/sq'>beta</a>"
+            "<a href=uq>gamma</a>"
+        )
+        pages = spark.createDataFrame(
+            [("https://a.nl/1", html)], "url string, html string"
+        )
+        got = sorted(
+            map(
+                tuple,
+                extract_anchors(
+                    pages, "html", "url", canonical=False, resolve=False
+                ).collect(),
+            )
+        )
+        duck = duckdb.connect()
+        duck.execute("CREATE TABLE pages(url VARCHAR, html VARCHAR)")
+        duck.execute("INSERT INTO pages VALUES (?, ?)", ["https://a.nl/1", html])
+        twin = sorted(
+            map(tuple, duck.sql(anchor_extract_sql("html", "url")).fetchall())
+        )
+        assert got == twin
+        assert [t[1:] for t in got] == [
+            ("/sq", "beta"), ("https://d.nl/dq", "alpha"), ("uq", "gamma"),
+        ]
+
+
 class TestCanonicalizeEdgeCases:
     """Round-3 review fixes: scheme-less passthrough and fragment-'?'."""
 
