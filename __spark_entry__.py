@@ -451,7 +451,7 @@ _DEMOTED_ORDER = [
     "segment_top_customers",
     # round-5 breadth additions (scored window stays pinned at 50)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
-    "anchor_text_by_host",
+    "anchor_text_by_host", "bm25_topk_docs",
 ]
 
 
@@ -796,6 +796,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["anchor_text_by_host"] = anchor_text_by_host
+
+    def bm25_topk_docs(spark, sf_dir):
+        # exact-integer BM25 retrieval (rational idf/length form — every
+        # step int64, so both engines score bit-identically); one corpus
+        # scan, no explode: dl + per-term tf are higher-order-function
+        # expressions, shuffles are |Q|-row df agg + top-k
+        from deduce_spark.spark.retrieval import bm25_topk
+
+        return bm25_topk(
+            _docs(spark, sf_dir), _BM25_TERMS, k=25
+        )
+
+    q["bm25_topk_docs"] = bm25_topk_docs
 
     def embed_hash_docs(spark, sf_dir):
         # hashing-trick document embeddings (no vocab, no training, no
@@ -1797,6 +1810,17 @@ def _link_graph_oracle() -> str:
     """
 
 
+# Mixed-frequency query over the synthetic vocabulary (hot + mid + tail)
+# so idf actually spreads; shared by bm25_topk_docs and its oracle.
+_BM25_TERMS = ["spark", "merge", "window", "shuffle"]
+
+
+def _bm25_oracle() -> str:
+    from deduce_spark.spark.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=25)
+
+
 def _anchor_text_oracle() -> str:
     from deduce_spark.spark.weburl import (
         anchor_extract_sql, canonical_url_oracle_sql,
@@ -2532,6 +2556,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "url_canonical_hosts": _url_hosts_oracle(),
         "link_graph_indegree": _link_graph_oracle(),
         "anchor_text_by_host": _anchor_text_oracle(),
+        "bm25_topk_docs": _bm25_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure
