@@ -451,7 +451,7 @@ _DEMOTED_ORDER = [
     "segment_top_customers",
     # round-5 breadth additions (scored window stays pinned at 50)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
-    "anchor_text_by_host", "bm25_topk_docs",
+    "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
 ]
 
 
@@ -809,6 +809,49 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_topk_docs"] = bm25_topk_docs
+
+    def bloom_decontam_words(spark, sf_dir):
+        # mergeable Bloom membership sketch, the broadcastable 100 TB
+        # decontamination gate: bitmap built over the corpus vocabulary
+        # (31 words), probed with that vocabulary (must all be member:
+        # no false negatives) plus 200 synthetic out-of-set tokens whose
+        # member=true rows are the filter's deterministic false positives
+        # — the fp rate is part of the driver-scored value surface.
+        # Tiny m_words=4 (252 bits) makes fps visible at this scale.
+        from deduce_spark.spark.sketches import bloom_build, bloom_probe
+
+        words = (
+            _docs(spark, sf_dir)
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+        )
+        bloom = bloom_build(words, "w", m_words=4, n_hashes=4)
+        synth = _docs(spark, sf_dir).select(
+            F.concat(
+                F.lit("probe_"), (F.col("doc_id") % 200).cast("string")
+            ).alias("w")
+        )
+        probed = bloom_probe(
+            bloom, words.union(synth), "w", m_words=4, n_hashes=4
+        )
+        vocab = (
+            words.select(F.col("w").alias("value"))
+            .distinct()
+            .withColumn("in_b", F.lit(True))
+        )
+        return (
+            probed.join(vocab, "value", "left")
+            .withColumn("in_benchmark", F.coalesce("in_b", F.lit(False)))
+            .groupBy("member", "in_benchmark")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("w_min"),
+                F.max("value").alias("w_max"),
+            )
+            .orderBy("member", "in_benchmark")
+        )
+
+    q["bloom_decontam_words"] = bloom_decontam_words
 
     def embed_hash_docs(spark, sf_dir):
         # hashing-trick document embeddings (no vocab, no training, no
@@ -1821,6 +1864,38 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(_BM25_TERMS, k=25)
 
 
+def _bloom_oracle() -> str:
+    from deduce_spark.spark.sketches import (
+        bloom_oracle_sql, bloom_probe_oracle_sql,
+    )
+
+    build = bloom_oracle_sql("SELECT w FROM words", "w", 4, 4)
+    probe = bloom_probe_oracle_sql(
+        "SELECT * FROM bloom", "SELECT w FROM probes", "w", 4, 4
+    )
+    return f"""
+        WITH words AS (
+            SELECT word AS w
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+        ),
+        bloom AS ({build}),
+        probes AS (
+            SELECT w FROM words
+            UNION ALL
+            SELECT 'probe_' || CAST(doc_id % 200 AS VARCHAR) FROM documents
+        ),
+        probed AS ({probe}),
+        vocab AS (SELECT DISTINCT w AS value, TRUE AS in_b FROM words)
+        SELECT member, COALESCE(in_b, FALSE) AS in_benchmark,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(value) AS w_min, MAX(value) AS w_max
+        FROM probed LEFT JOIN vocab USING (value)
+        GROUP BY 1, 2 ORDER BY member, in_benchmark
+    """
+
+
 def _anchor_text_oracle() -> str:
     from deduce_spark.spark.weburl import (
         anchor_extract_sql, canonical_url_oracle_sql,
@@ -2557,6 +2632,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "link_graph_indegree": _link_graph_oracle(),
         "anchor_text_by_host": _anchor_text_oracle(),
         "bm25_topk_docs": _bm25_oracle(),
+        "bloom_decontam_words": _bloom_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

@@ -229,3 +229,156 @@ def hll_estimate(registers: list[tuple[int, int]], p: int = 9) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable bitmap membership sketch)
+# ---------------------------------------------------------------------------
+#
+# The 100 TB decontamination path: build a Bloom filter over the benchmark
+# set ONCE (a groupBy(word_idx).bit_or aggregate — map-side-combinable, so
+# each partition reduces to <= m_words int64s before a tiny shuffle), then
+# broadcast the <= m_words-row bitmap and probe petabyte-scale corpora
+# join-free.  Engine-portable by construction: double hashing h_i = h1 +
+# i*h2 (Kirsch-Mitzenmacher) over the md5-hex-prefix integers every other
+# oracle in this repo uses, 63 usable bits per int64 word (bit 63 never
+# set, so Spark's wrapping shiftleft and DuckDB's << agree and bit_or
+# stays non-negative).  Merging two filters of the same shape is
+# bit_or(bits) per word_idx; no false negatives ever (pytest-pinned).
+
+
+def _bloom_h12(col_sql: str, duck: bool) -> tuple[str, str]:
+    if duck:
+        h = f"md5(CAST({col_sql} AS VARCHAR))"
+        return (
+            f"CAST(('0x' || substr({h}, 1, 8)) AS BIGINT)",
+            f"CAST(('0x' || substr({h}, 9, 8)) AS BIGINT)",
+        )
+    h = f"md5(CAST({col_sql} AS STRING))"
+    return (
+        f"CAST(conv(substring({h}, 1, 8), 16, 10) AS BIGINT)",
+        f"CAST(conv(substring({h}, 9, 8), 16, 10) AS BIGINT)",
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_words: int = 1024, n_hashes: int = 4
+) -> DataFrame:
+    """(word_idx, bits) Bloom bitmap over the values of ``col``.
+
+    ``m_words * 63`` bits total; nulls ignored.  Output has at most
+    ``m_words`` rows — broadcastable up to tens of millions of words
+    (a 2^24-word filter is 128 MB; size to the benchmark set, not the
+    probed corpus)."""
+    if m_words < 1 or not 1 <= n_hashes <= 16:
+        raise ValueError(f"bad bloom shape ({m_words=}, {n_hashes=})")
+    m_bits = m_words * 63
+    h1, h2 = _bloom_h12(col, duck=False)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
+        .select(
+            "h1", "h2",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_hashes)])
+            ).alias("i"),
+        )
+        .select(F.expr(f"(h1 + i * h2) % {m_bits}").alias("bit"))
+        .select(
+            F.expr("bit DIV 63").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str,
+    m_words: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """(value, member) for the DISTINCT non-null values of ``col`` in
+    ``probes``, against a :func:`bloom_build` bitmap of the SAME shape.
+    member=true may be a false positive; member=false is definitive."""
+    m_bits = m_words * 63
+    h1, h2 = _bloom_h12("value", duck=False)
+    expanded = (
+        probes.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"))
+        .distinct()
+        .select(
+            "value", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_hashes)])
+            ).alias("i"),
+        )
+        .select("value", F.expr(f"(h1 + i * h2) % {m_bits}").alias("bit"))
+        .select(
+            "value",
+            F.expr("bit DIV 63").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))"
+            ).alias("mask"),
+        )
+    )
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+        F.lit(False),
+    )
+    return (
+        expanded.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("value")
+        .agg(F.bool_and(hit).alias("member"))
+    )
+
+
+def bloom_oracle_sql(
+    source_sql: str, col: str, m_words: int = 1024, n_hashes: int = 4
+) -> str:
+    """DuckDB twin of :func:`bloom_build` over ``source_sql``."""
+    m_bits = m_words * 63
+    h1, h2 = _bloom_h12(col, duck=True)
+    return f"""
+        SELECT bit // 63 AS word_idx,
+               bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS bits
+        FROM (
+            SELECT ({h1} + i * {h2}) % {m_bits} AS bit
+            FROM ({source_sql}), range({n_hashes}) t(i)
+            WHERE {col} IS NOT NULL
+        )
+        GROUP BY 1
+    """
+
+
+def bloom_probe_oracle_sql(
+    bloom_sql: str,
+    probe_sql: str,
+    col: str,
+    m_words: int = 1024,
+    n_hashes: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bloom_probe`: (value, member) for distinct
+    non-null probe values against ``bloom_sql``'s (word_idx, bits)."""
+    m_bits = m_words * 63
+    h1, h2 = _bloom_h12("value", duck=True)
+    return f"""
+        SELECT value,
+               bool_and(COALESCE((bits & mask) = mask, FALSE)) AS member
+        FROM (
+            SELECT value, bit // 63 AS word_idx,
+                   1::BIGINT << CAST(bit % 63 AS INT) AS mask
+            FROM (
+                SELECT value, ({h1} + i * {h2}) % {m_bits} AS bit
+                FROM (SELECT DISTINCT {col} AS value FROM ({probe_sql})
+                      WHERE {col} IS NOT NULL),
+                     range({n_hashes}) t(i)
+            )
+        )
+        LEFT JOIN ({bloom_sql}) USING (word_idx)
+        GROUP BY value
+    """

@@ -67,6 +67,81 @@ class TestHLL:
             hll_registers(df, "v", p=3)
 
 
+class TestBloom:
+    M, N = 32, 4  # 2016 bits
+
+    def _vals(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("item"), F.col("id").cast("string")).alias("v")
+        )
+
+    def test_no_false_negatives(self, spark):
+        from deduce_spark.spark.sketches import bloom_build, bloom_probe
+
+        inserted = self._vals(spark, 0, 300)
+        bloom = bloom_build(inserted, "v", self.M, self.N)
+        probed = bloom_probe(bloom, inserted, "v", self.M, self.N)
+        assert probed.filter(~F.col("member")).count() == 0
+        assert probed.count() == 300
+
+    def test_definitive_negative_and_fp_bound(self, spark):
+        from deduce_spark.spark.sketches import bloom_build, bloom_probe
+
+        bloom = bloom_build(self._vals(spark, 0, 100), "v", self.M, self.N)
+        out = bloom_probe(
+            bloom, self._vals(spark, 1000, 2000), "v", self.M, self.N
+        )
+        fp = out.filter(F.col("member")).count()
+        # fill ratio ~ 0.18 -> fp ~ 0.1%; generous deterministic bound
+        assert fp < 50
+
+    def test_mergeable(self, spark):
+        # bloom(A UNION B) must equal per-word bit_or of bloom(A), bloom(B)
+        from deduce_spark.spark.sketches import bloom_build
+
+        a, b = self._vals(spark, 0, 150), self._vals(spark, 100, 250)
+        merged = (
+            bloom_build(a, "v", self.M, self.N)
+            .union(bloom_build(b, "v", self.M, self.N))
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        direct = bloom_build(a.union(b), "v", self.M, self.N)
+        got = sorted(map(tuple, merged.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want
+
+    def test_twin_parity(self, spark):
+        from deduce_spark.spark.sketches import bloom_build, bloom_oracle_sql
+
+        got = sorted(
+            map(
+                tuple,
+                bloom_build(
+                    self._vals(spark, 0, 500), "v", self.M, self.N
+                ).collect(),
+            )
+        )
+        duck = duckdb.connect()
+        src = "SELECT 'item' || CAST(range AS VARCHAR) AS v FROM range(500)"
+        want = sorted(
+            map(
+                tuple,
+                duck.sql(bloom_oracle_sql(src, "v", self.M, self.N)).fetchall(),
+            )
+        )
+        assert got == want
+        assert all(bits > 0 for _, bits in got)  # 63-bit words stay positive
+
+    def test_shape_validation(self, spark):
+        from deduce_spark.spark.sketches import bloom_build
+
+        with pytest.raises(ValueError):
+            bloom_build(self._vals(spark, 0, 1), "v", 0, 4)
+        with pytest.raises(ValueError):
+            bloom_build(self._vals(spark, 0, 1), "v", 8, 0)
+
+
 class TestExactSubstrDup:
     def test_detects_verbatim_span(self, spark):
         shared = "x" * 30 + "SHARED-SPAN-" + "y" * 40  # > k+stride-1 chars
