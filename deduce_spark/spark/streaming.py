@@ -280,6 +280,27 @@ def hll_registers_stream(
     return hll_registers(stream_df, col, p=p)
 
 
+def bloom_stream(
+    stream_df: DataFrame, col: str, m_words: int = 1024, n_hashes: int = 4
+) -> DataFrame:
+    """Streaming Bloom-filter maintenance: keep the (word_idx, bits)
+    membership bitmap of every value seen on an unbounded stream — the
+    continuously-updated decontamination gate (new benchmark rows arrive,
+    the filter that protects the training corpus absorbs them).
+
+    State is AT MOST ``m_words`` rows forever: like the HLL registers,
+    the aggregate is a monotone fold (bit_or only ever sets bits), so no
+    watermark is needed and the state store never grows with cardinality.
+    Update mode emits changed words per batch; the sink folds them with
+    bit_or — the same merge the batch sketch pins by test — so a
+    streaming-maintained filter is value-identical to
+    :func:`deduce_spark.spark.sketches.bloom_build` over the union of
+    all batches, and downstream probes can broadcast it join-free."""
+    from deduce_spark.spark.sketches import bloom_build
+
+    return bloom_build(stream_df, col, m_words=m_words, n_hashes=n_hashes)
+
+
 def heavy_hitters_stream(
     stream_df: DataFrame,
     item_col: str = "item",

@@ -252,6 +252,72 @@ def test_hll_registers_stream_folds_to_batch_sketch(spark, tmp_path):
     assert len(folded) <= 64
 
 
+def test_bloom_stream_folds_to_batch_sketch(spark, tmp_path):
+    """Streaming Bloom maintenance: update-mode word deltas, folded with
+    bit_or in the sink, equal the batch filter over the union of all
+    batches — across a checkpoint restart, with bounded (<=m_words)
+    state — and the folded filter has no false negatives."""
+    from deduce_spark.spark.sketches import bloom_build, bloom_probe
+
+    M, N = 16, 4
+    src = tmp_path / "bvals"
+    ckpt = tmp_path / "ckpt_bloom"
+    src.mkdir()
+    schema = "v string"
+    folded: dict[int, int] = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = st.bloom_stream(stream, "v", m_words=M, n_hashes=N)
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                w, bits = r["word_idx"], r["bits"]
+                folded[w] = folded.get(w, 0) | bits
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write_batch(values):
+        spark.createDataFrame([(v,) for v in values], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    write_batch([f"x{i}" for i in range(200)])
+    run_once()
+    write_batch([f"x{i}" for i in range(100, 300)])  # overlap + new
+    run_once()  # fresh query object, same checkpoint = restart
+    write_batch([f"y{i}" for i in range(50)])
+    run_once()
+
+    union = spark.createDataFrame(
+        [(f"x{i}",) for i in range(300)] + [(f"y{i}",) for i in range(50)],
+        schema,
+    )
+    batch = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_build(union, "v", m_words=M, n_hashes=N).collect()
+    }
+    assert folded == batch
+    assert len(folded) <= M
+    # no false negatives through the streamed-then-folded filter
+    bloom_df = spark.createDataFrame(
+        list(folded.items()), "word_idx long, bits long"
+    )
+    missed = (
+        bloom_probe(bloom_df, union, "v", m_words=M, n_hashes=N)
+        .filter("NOT member")
+        .count()
+    )
+    assert missed == 0
+
+
 def test_heavy_hitters_stream_bounded_state_and_guarantee(spark, tmp_path):
     """Streaming MG maintenance: a persistently heavy item survives batch
     churn and a checkpoint restart; state stays <= k counters per bucket;
