@@ -452,6 +452,7 @@ _DEMOTED_ORDER = [
     # round-5 breadth additions (scored window stays pinned at 50)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
     "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
+    "hits_link_hosts",
 ]
 
 
@@ -852,6 +853,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bloom_decontam_words"] = bloom_decontam_words
+
+    def hits_link_hosts(spark, sf_dir):
+        # integer-quantized HITS (hub/authority) over the host-level link
+        # graph — crawl seed-ranking next to pagerank; fixed 2 rounds of
+        # max-norm half-steps unroll into joins both engines replay
+        # bit-identically (webgraph.hits_scores docstring)
+        from deduce_spark.spark.webgraph import hits_scores
+        from deduce_spark.spark.weburl import extract_links, url_host
+
+        edges = extract_links(
+            _link_pages(spark, sf_dir), "html", "url", canonical=True
+        )
+        host_edges = edges.select(
+            url_host(F.col("src_url")).alias("src"),
+            url_host(F.col("dst_url")).alias("dst"),
+        )
+        return hits_scores(host_edges, iters=2).orderBy("node")
+
+    q["hits_link_hosts"] = hits_link_hosts
 
     def embed_hash_docs(spark, sf_dir):
         # hashing-trick document embeddings (no vocab, no training, no
@@ -1864,6 +1884,24 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(_BM25_TERMS, k=25)
 
 
+def _hits_oracle() -> str:
+    from deduce_spark.spark.webgraph import hits_oracle_sql
+    from deduce_spark.spark.weburl import (
+        canonical_url_oracle_sql, href_extract_sql, resolve_href_oracle_sql,
+        url_host_oracle_sql,
+    )
+
+    cano = canonical_url_oracle_sql("abs_url")
+    edges_sql = f"""
+        SELECT {url_host_oracle_sql('url')} AS src,
+               {url_host_oracle_sql(cano)} AS dst
+        FROM (SELECT url, {resolve_href_oracle_sql('url', 'raw')} AS abs_url
+              FROM (SELECT url, unnest({href_extract_sql('html')}) AS raw
+                    FROM ({_LINK_PAGES_SQL})))
+    """
+    return hits_oracle_sql(edges_sql, iters=2) + " ORDER BY node"
+
+
 def _bloom_oracle() -> str:
     from deduce_spark.spark.sketches import (
         bloom_oracle_sql, bloom_probe_oracle_sql,
@@ -2633,6 +2671,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "anchor_text_by_host": _anchor_text_oracle(),
         "bm25_topk_docs": _bm25_oracle(),
         "bloom_decontam_words": _bloom_oracle(),
+        "hits_link_hosts": _hits_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure
