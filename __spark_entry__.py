@@ -452,7 +452,7 @@ _DEMOTED_ORDER = [
     # round-5 breadth additions (scored window stays pinned at 50)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
     "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
-    "hits_link_hosts",
+    "hits_link_hosts", "lm_quality_score", "cms_word_counts",
 ]
 
 
@@ -872,6 +872,42 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits_scores(host_edges, iters=2).orderBy("node")
 
     q["hits_link_hosts"] = hits_link_hosts
+
+    def lm_quality_score(spark, sf_dir):
+        # CCNet-style LM quality bucketing: exact-integer bigram bit-cost
+        # of every document against a model trained on a reference slice
+        # (doc_id % 7 == 0 stands in for CCNet's curated corpus); lower
+        # ppl_millibits = closer to the reference distribution
+        from deduce_spark.spark.lmscore import bigram_lm_score
+
+        docs = _docs(spark, sf_dir)
+        return bigram_lm_score(docs, docs.filter(F.col("doc_id") % 7 == 0))
+
+    q["lm_quality_score"] = lm_quality_score
+
+    def cms_word_counts(spark, sf_dir):
+        # Count-Min point-frequency sketch (the 4th mergeable-sketch
+        # family next to HLL/Bloom/Misra-Gries): grid over every corpus
+        # word, probed with the distinct words of a sampled doc slice;
+        # top-50 estimates (est >= true count by construction)
+        from deduce_spark.spark.sketches import cms_build, cms_query
+
+        def words_of(df):
+            return (
+                df.select(F.explode(F.split("text", " ")).alias("w"))
+                .filter(F.col("w") != "")
+            )
+
+        docs = _docs(spark, sf_dir)
+        cms = cms_build(words_of(docs), "w", width=256, depth=4)
+        probe = words_of(docs.filter(F.col("doc_id") % 17 == 0))
+        return (
+            cms_query(cms, probe, "w", width=256, depth=4)
+            .orderBy(F.desc("est"), F.asc("value"))
+            .limit(50)
+        )
+
+    q["cms_word_counts"] = cms_word_counts
 
     def embed_hash_docs(spark, sf_dir):
         # hashing-trick document embeddings (no vocab, no training, no
@@ -1902,6 +1938,39 @@ def _hits_oracle() -> str:
     return hits_oracle_sql(edges_sql, iters=2) + " ORDER BY node"
 
 
+def _lm_score_oracle() -> str:
+    from deduce_spark.spark.lmscore import bigram_lm_score_oracle_sql
+
+    return bigram_lm_score_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT text FROM documents WHERE doc_id % 7 = 0",
+    )
+
+
+def _cms_oracle() -> str:
+    from deduce_spark.spark.sketches import (
+        cms_oracle_sql, cms_query_oracle_sql,
+    )
+
+    words = """
+        SELECT word AS w
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+    """
+    probe = """
+        SELECT word AS w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id % 17 = 0)
+        WHERE word <> ''
+    """
+    grid = cms_oracle_sql(words, "w", 256, 4)
+    return (
+        cms_query_oracle_sql(grid, probe, "w", 256, 4)
+        + " ORDER BY est DESC, value LIMIT 50"
+    )
+
+
 def _bloom_oracle() -> str:
     from deduce_spark.spark.sketches import (
         bloom_oracle_sql, bloom_probe_oracle_sql,
@@ -2672,6 +2741,8 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bm25_topk_docs": _bm25_oracle(),
         "bloom_decontam_words": _bloom_oracle(),
         "hits_link_hosts": _hits_oracle(),
+        "lm_quality_score": _lm_score_oracle(),
+        "cms_word_counts": _cms_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

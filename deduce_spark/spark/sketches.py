@@ -382,3 +382,114 @@ def bloom_probe_oracle_sql(
         LEFT JOIN ({bloom_sql}) USING (word_idx)
         GROUP BY value
     """
+
+
+# -- Count-Min sketch ------------------------------------------------------
+# The frequency-estimation member of the mergeable-sketch family (HLL =
+# cardinality, Bloom = membership, Misra-Gries = heavy hitters, CMS =
+# point frequency; Cormode & Muthukrishnan 2005).  Same scale shape as
+# the others: build is a map-side-combinable SUM over at most
+# depth*width cells (each 10^12-row partition reduces to the tiny grid
+# before the shuffle), merging two sketches of the same shape is
+# SUM(cnt) per cell, and the grid broadcasts for join-free probing.
+# Estimates overcount only (est >= true count; pytest-pinned), with the
+# standard eps = e/width, delta = e^-depth guarantees.  Double hashing
+# h_i = h1 + i*h2 reuses the md5-hex-prefix integers of the Bloom/HLL
+# oracles, so DuckDB replays the exact grid.
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """(row_i, bucket, cnt) Count-Min grid over the values of ``col``.
+
+    Nulls ignored; at most ``depth * width`` rows; absent cells mean
+    count 0.  Merge sketches of the same shape by summing cnt per
+    (row_i, bucket)."""
+    if width < 1 or not 1 <= depth <= 16:
+        raise ValueError(f"bad cms shape ({width=}, {depth=})")
+    h1, h2 = _bloom_h12(col, duck=False)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
+        .select(
+            F.explode(
+                F.array(*[F.lit(i) for i in range(depth)])
+            ).alias("row_i"),
+            F.expr(f"(h1 + row_i * h2) % {width}").alias("bucket"),
+        )
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_query(
+    cms: DataFrame,
+    probes: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """(value, est) for the DISTINCT non-null values of ``col`` in
+    ``probes`` against a :func:`cms_build` grid of the SAME shape.
+    ``est >= true count`` always (collisions only ever add)."""
+    h1, h2 = _bloom_h12("value", duck=False)
+    expanded = (
+        probes.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"))
+        .distinct()
+        .select(
+            "value", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(depth)])
+            ).alias("row_i"),
+        )
+        .select(
+            "value",
+            "row_i",
+            F.expr(f"(h1 + row_i * h2) % {width}").alias("bucket"),
+        )
+    )
+    return (
+        expanded.join(F.broadcast(cms), ["row_i", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_oracle_sql(
+    source_sql: str, col: str, width: int = 1024, depth: int = 4
+) -> str:
+    """DuckDB twin of :func:`cms_build` over ``source_sql``."""
+    h1, h2 = _bloom_h12(col, duck=True)
+    return f"""
+        SELECT i AS row_i, ({h1} + i * {h2}) % {width} AS bucket,
+               COUNT(*)::BIGINT AS cnt
+        FROM ({source_sql}), range({depth}) t(i)
+        WHERE {col} IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def cms_query_oracle_sql(
+    cms_sql: str,
+    probe_sql: str,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cms_query`: (value, est) for distinct
+    non-null probe values against ``cms_sql``'s (row_i, bucket, cnt)."""
+    h1, h2 = _bloom_h12("value", duck=True)
+    return f"""
+        SELECT value, MIN(COALESCE(cnt, 0))::BIGINT AS est
+        FROM (
+            SELECT value, i AS row_i,
+                   ({h1} + i * {h2}) % {width} AS bucket
+            FROM (SELECT DISTINCT {col} AS value FROM ({probe_sql})
+                  WHERE {col} IS NOT NULL),
+                 range({depth}) t(i)
+        )
+        LEFT JOIN ({cms_sql}) USING (row_i, bucket)
+        GROUP BY value
+    """
