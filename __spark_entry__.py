@@ -453,6 +453,7 @@ _DEMOTED_ORDER = [
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
     "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
     "hits_link_hosts", "lm_quality_score", "cms_word_counts",
+    "kcore_link_hosts",
 ]
 
 
@@ -884,6 +885,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bigram_lm_score(docs, docs.filter(F.col("doc_id") % 7 == 0))
 
     q["lm_quality_score"] = lm_quality_score
+
+    def kcore_link_hosts(spark, sf_dir):
+        # bounded-round k-core peel of the host link graph (link-farm /
+        # template-core curation signal next to pagerank/HITS); fixed
+        # round count unrolls into joins both engines replay exactly
+        from deduce_spark.spark.webgraph import kcore_peel
+        from deduce_spark.spark.weburl import extract_links, url_host
+
+        edges = extract_links(
+            _link_pages(spark, sf_dir), "html", "url", canonical=True
+        )
+        host_edges = edges.select(
+            url_host(F.col("src_url")).alias("src"),
+            url_host(F.col("dst_url")).alias("dst"),
+        )
+        return kcore_peel(host_edges, k=2, rounds=2)
+
+    q["kcore_link_hosts"] = kcore_link_hosts
 
     def cms_word_counts(spark, sf_dir):
         # Count-Min point-frequency sketch (the 4th mergeable-sketch
@@ -1920,22 +1939,34 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(_BM25_TERMS, k=25)
 
 
-def _hits_oracle() -> str:
-    from deduce_spark.spark.webgraph import hits_oracle_sql
+def _host_edges_sql() -> str:
+    """(src, dst) host-level link edges over _LINK_PAGES_SQL — the SQL
+    twin of extract_links + url_host in hits_link_hosts/kcore_link_hosts."""
     from deduce_spark.spark.weburl import (
         canonical_url_oracle_sql, href_extract_sql, resolve_href_oracle_sql,
         url_host_oracle_sql,
     )
 
     cano = canonical_url_oracle_sql("abs_url")
-    edges_sql = f"""
+    return f"""
         SELECT {url_host_oracle_sql('url')} AS src,
                {url_host_oracle_sql(cano)} AS dst
         FROM (SELECT url, {resolve_href_oracle_sql('url', 'raw')} AS abs_url
               FROM (SELECT url, unnest({href_extract_sql('html')}) AS raw
                     FROM ({_LINK_PAGES_SQL})))
     """
-    return hits_oracle_sql(edges_sql, iters=2) + " ORDER BY node"
+
+
+def _hits_oracle() -> str:
+    from deduce_spark.spark.webgraph import hits_oracle_sql
+
+    return hits_oracle_sql(_host_edges_sql(), iters=2) + " ORDER BY node"
+
+
+def _kcore_oracle() -> str:
+    from deduce_spark.spark.webgraph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_host_edges_sql(), k=2, rounds=2)
 
 
 def _lm_score_oracle() -> str:
@@ -2743,6 +2774,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hits_link_hosts": _hits_oracle(),
         "lm_quality_score": _lm_score_oracle(),
         "cms_word_counts": _cms_oracle(),
+        "kcore_link_hosts": _kcore_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

@@ -390,3 +390,25 @@ def heavy_hitters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cms_stream(
+    stream_df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Streaming Count-Min maintenance: keep the (row_i, bucket, cnt)
+    frequency grid of every value seen on an unbounded stream — the
+    continuously-updated point-frequency oracle (e.g. live per-token or
+    per-host traffic estimates feeding the curation mix).
+
+    State is AT MOST ``depth * width`` rows forever: the aggregate is a
+    monotone additive fold (counts only ever grow), so no watermark is
+    needed and the state store never grows with cardinality.  Update
+    mode emits changed cells per batch; the sink folds them by KEEPING
+    THE LATEST cnt per (row_i, bucket) (Spark's streaming SUM already
+    accumulates across batches — unlike the bit_or sketches there is
+    nothing to re-merge), so a streaming-maintained grid is
+    value-identical to :func:`deduce_spark.spark.sketches.cms_build`
+    over the union of all batches and broadcasts join-free downstream."""
+    from deduce_spark.spark.sketches import cms_build
+
+    return cms_build(stream_df, col, width=width, depth=depth)

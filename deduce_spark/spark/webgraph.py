@@ -1,4 +1,4 @@
-"""Web-graph analytics beyond the KG pipeline: integer-quantized HITS.
+"""Web-graph analytics beyond the KG pipeline: HITS and k-core peeling.
 
 Kleinberg's HITS assigns every node a hub score (points at good
 authorities) and an authority score (pointed at by good hubs) — the
@@ -129,5 +129,97 @@ def hits_oracle_sql(
         FROM nodes
         LEFT JOIN a{iters} AS a ON nodes.node = a.node
         LEFT JOIN h{iters} AS h ON nodes.node = h.node
+    """
+    )
+
+
+# -- k-core peeling --------------------------------------------------------
+# The k-core (maximal subgraph where every node has degree >= k) is the
+# other classic crawl-curation signal next to PageRank/HITS: link-farm
+# and template cores are dense (high k), genuine content sits in shallow
+# cores.  Exact k-core needs data-dependent convergence; like HITS this
+# module fixes the ROUND COUNT so the loop unrolls into plain joins and
+# the DuckDB twin replays it CTE-by-CTE.  Peeling removes degree-<k
+# nodes each round; once a round removes nothing the iteration is a
+# fixpoint, so for any graph whose peeling converges within `rounds`
+# the output IS the true k-core (pytest pins a chain that needs the
+# full budget).  Per round: one map-combinable degree aggregate + one
+# edge semi-join against the (<= |V|-row, already-aggregated) survivor
+# table, broadcast like the HITS score tables — 2 bounded shuffles per
+# round, no driver-side loops over data.
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, deg) of the graph left after ``rounds`` peels of
+    degree-< ``k`` nodes, degrees measured on that final subgraph.
+
+    The input digraph is symmetrized and simplified first (k-core is
+    defined on the undirected simple graph; self-loops dropped).  Empty
+    result = the k-core is empty (or everything peeled so far).
+
+    Lineage is cut with an eager localCheckpoint per round (the
+    pagerank_quantized discipline, kg.py:619): each round references the
+    previous graph three times (degree agg + both endpoint semi-joins),
+    so without the cut the upstream subtree — often an expensive
+    extract_links chain — would re-execute 3^rounds times.  On a real
+    cluster swap localCheckpoint for a reliable checkpoint dir."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"bad kcore shape ({k=}, {rounds=})")
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    g = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct()
+    for _ in range(rounds):
+        g = g.localCheckpoint(eager=True)
+        deg = g.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        g = (
+            g.join(F.broadcast(keep), "a")
+            .join(
+                F.broadcast(keep.select(F.col("a").alias("b"))), "b"
+            )
+            .select("a", "b")
+        )
+    return (
+        g.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .orderBy("node")
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 2, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`kcore_peel`: ``edges_sql`` must yield
+    (src, dst); returns (node, deg) ordered by node."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"bad kcore shape ({k=}, {rounds=})")
+    ctes = [
+        f"""fwd AS (SELECT src AS a, dst AS b FROM ({edges_sql})
+             WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)""",
+        "g0 AS (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM fwd UNION ALL SELECT b, a FROM fwd))",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT a, COUNT(*) AS deg FROM g{r - 1} GROUP BY 1)"
+        )
+        ctes.append(
+            f"""g{r} AS (SELECT g.a, g.b FROM g{r - 1} g
+                 JOIN d{r} da ON g.a = da.a AND da.deg >= {k}
+                 JOIN d{r} db ON g.b = db.a AND db.deg >= {k})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT a AS node, COUNT(*)::BIGINT AS deg
+        FROM g{rounds} GROUP BY 1 ORDER BY 1
     """
     )

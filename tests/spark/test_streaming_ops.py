@@ -380,3 +380,61 @@ def test_heavy_hitters_stream_bounded_state_and_guarantee(spark, tmp_path):
     # plus that bucket's churn share), never the whole stream
     assert n_seen >= true_hot
     assert n_seen <= 300
+
+
+def test_cms_stream_folds_to_batch_sketch(spark, tmp_path):
+    """Streaming Count-Min maintenance: update-mode cell deltas carry the
+    CUMULATIVE count (streaming SUM state), so keeping the latest value
+    per (row_i, bucket) across batches — and a checkpoint restart —
+    equals the batch grid over the union of all batches, with bounded
+    (<= depth*width) state."""
+    from deduce_spark.spark.sketches import cms_build
+
+    W, D = 16, 3
+    src = tmp_path / "cvals"
+    ckpt = tmp_path / "ckpt_cms"
+    src.mkdir()
+    schema = "v string"
+    folded: dict[tuple, int] = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = st.cms_stream(stream, "v", width=W, depth=D)
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                folded[(r["row_i"], r["bucket"])] = r["cnt"]
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write_batch(values):
+        spark.createDataFrame([(v,) for v in values], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    write_batch([f"x{i % 7}" for i in range(40)])
+    run_once()
+    write_batch([f"x{i % 11}" for i in range(30)])  # overlap + new
+    run_once()  # fresh query object, same checkpoint = restart
+    write_batch([f"z{i}" for i in range(5)])
+    run_once()
+
+    union = spark.createDataFrame(
+        [(f"x{i % 7}",) for i in range(40)]
+        + [(f"x{i % 11}",) for i in range(30)]
+        + [(f"z{i}",) for i in range(5)],
+        schema,
+    )
+    batch = {
+        (r["row_i"], r["bucket"]): r["cnt"]
+        for r in cms_build(union, "v", width=W, depth=D).collect()
+    }
+    assert folded == batch
+    assert len(folded) <= W * D

@@ -64,3 +64,77 @@ class TestHITS:
             )
         )
         assert got == twin
+
+
+class TestKCore:
+    def _run(self, spark, pairs, **kw):
+        from deduce_spark.spark.webgraph import kcore_peel
+
+        return {
+            r["node"]: r["deg"]
+            for r in kcore_peel(_edges(spark, pairs), **kw).collect()
+        }
+
+    def test_triangle_survives_tail_peeled(self, spark):
+        # triangle x-y-z is the 2-core; tail z->w peels in round 1
+        pairs = [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")]
+        got = self._run(spark, pairs, k=2, rounds=2)
+        assert got == {"x": 2, "y": 2, "z": 2}
+
+    def test_chain_needs_full_round_budget(self, spark):
+        # path a-b-c-d-e: 2-core is EMPTY but only after cascading peels
+        # (endpoints round 1, then b/d, then c is isolated) — one round
+        # is not enough, three are
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        assert self._run(spark, pairs, k=2, rounds=1) != {}
+        assert self._run(spark, pairs, k=2, rounds=3) == {}
+
+    def test_fixpoint_stable_under_extra_rounds(self, spark):
+        pairs = [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")]
+        assert self._run(spark, pairs, k=2, rounds=2) == self._run(
+            spark, pairs, k=2, rounds=5
+        )
+
+    def test_direction_selfloop_dup_invariance(self, spark):
+        # reversed duplicates, self-loops and repeated edges must not
+        # change the symmetrized simple graph
+        pairs = [("x", "y"), ("y", "x"), ("x", "x"), ("y", "z"),
+                 ("z", "x"), ("y", "z")]
+        got = self._run(spark, pairs, k=2, rounds=2)
+        assert got == {"x": 2, "y": 2, "z": 2}
+
+    def test_validation(self, spark):
+        from deduce_spark.spark.webgraph import kcore_oracle_sql, kcore_peel
+
+        with pytest.raises(ValueError):
+            kcore_peel(_edges(spark, [("a", "b")]), k=0)
+        with pytest.raises(ValueError):
+            kcore_oracle_sql("SELECT 1", rounds=0)
+
+    def test_twin_parity(self, spark):
+        from deduce_spark.spark.webgraph import kcore_oracle_sql, kcore_peel
+
+        # random-ish digraph over 20 hosts plus a 5-clique (a genuine
+        # 3-core that must survive) and noise edges
+        pairs = [
+            (f"h{(i * 7) % 20}", f"h{(i * i + 3) % 20}") for i in range(60)
+        ] + [("h0", "h0"), ("t1", "h0")] + [
+            (f"c{i}", f"c{j}") for i in range(5) for j in range(5) if i < j
+        ]
+        got = [
+            tuple(r)
+            for r in kcore_peel(
+                _edges(spark, pairs), k=3, rounds=3
+            ).collect()
+        ]
+        duck = duckdb.connect()
+        import pandas as pd
+
+        duck.register("e", pd.DataFrame(pairs, columns=["src", "dst"]))
+        want = [
+            tuple(r)
+            for r in duck.sql(
+                kcore_oracle_sql("SELECT src, dst FROM e", k=3, rounds=3)
+            ).fetchall()
+        ]
+        assert got == want and len(got) > 0
