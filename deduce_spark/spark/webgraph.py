@@ -39,7 +39,13 @@ def hits_scores(
     """(node, auth, hub) integer HITS scores after ``iters`` rounds.
 
     Edges are deduplicated first (HITS is defined on the simple graph).
-    Nodes with no in-edges get auth=0, no out-edges hub=0."""
+    Nodes with no in-edges get auth=0, no out-edges hub=0.
+
+    The deduplicated edge list is materialized once with an eager
+    localCheckpoint (kcore_peel / pagerank_quantized discipline): every
+    half-step joins against it, so without the cut an expensive upstream
+    chain (e.g. extract_links) re-executes 2*iters+2 times.  On a real
+    cluster swap localCheckpoint for a reliable checkpoint dir."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     e = (
@@ -48,6 +54,7 @@ def hits_scores(
         )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
