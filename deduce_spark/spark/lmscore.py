@@ -98,6 +98,16 @@ def bigram_lm_score(
     >= 1 bigram, ordered by doc_id.  Lower ``ppl_millibits`` = closer
     to the reference distribution (CCNet "head" bucket)."""
     big, uni = bigram_lm_train(ref_docs, text_col=text_col)
+    # An empty reference slice (no doc with >= 2 tokens) gives V = 0 and
+    # a constant NEGATIVE cost of -1024 per bigram — every doc would
+    # silently score ppl_millibits = -1000 and the ranking collapses.
+    # Fail fast instead; the probe is a bounded LIMIT 1 on the (small,
+    # already-aggregated) unigram table.
+    if not uni.limit(1).count():
+        raise ValueError(
+            "reference slice yields no bigrams (every doc has < 2 "
+            "tokens) — the add-one model is undefined"
+        )
     if broadcast_model:
         big, uni = F.broadcast(big), F.broadcast(uni)
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))

@@ -261,6 +261,43 @@ def _bloom_h12(col_sql: str, duck: bool) -> tuple[str, str]:
     )
 
 
+def _dh_expand(
+    df: DataFrame, col: str, n: int, modulus: int, keep: tuple = ()
+) -> DataFrame:
+    """Kirsch-Mitzenmacher expansion shared by the Bloom and Count-Min
+    sketches: one row per (non-null value, hash index i in [0, n)) with
+    ``slot = (h1 + i*h2) % modulus``, carrying the ``keep`` columns.
+    Any change to the probing scheme goes HERE and in :func:`_dh_sql`
+    (its DuckDB twin) — nowhere else."""
+    h1, h2 = _bloom_h12(col, duck=False)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*keep, F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
+        .select(
+            *keep, "h1", "h2",
+            F.explode(F.array(*[F.lit(i) for i in range(n)])).alias("i"),
+        )
+        .select(
+            *keep, "i",
+            F.expr(f"(h1 + i * h2) % {modulus}").alias("slot"),
+        )
+    )
+
+
+def _dh_sql(
+    source_sql: str, col: str, n: int, modulus: int, keep: tuple = ()
+) -> str:
+    """DuckDB twin of :func:`_dh_expand` over ``source_sql`` — identical
+    arithmetic, columns (keep..., i, slot)."""
+    h1, h2 = _bloom_h12(col, duck=True)
+    keep_cols = "".join(f"{c}, " for c in keep)
+    return f"""
+        SELECT {keep_cols}i, ({h1} + i * {h2}) % {modulus} AS slot
+        FROM ({source_sql}), range({n}) t(i)
+        WHERE {col} IS NOT NULL
+    """
+
+
 def bloom_build(
     df: DataFrame, col: str, m_words: int = 1024, n_hashes: int = 4
 ) -> DataFrame:
@@ -272,22 +309,12 @@ def bloom_build(
     probed corpus)."""
     if m_words < 1 or not 1 <= n_hashes <= 16:
         raise ValueError(f"bad bloom shape ({m_words=}, {n_hashes=})")
-    m_bits = m_words * 63
-    h1, h2 = _bloom_h12(col, duck=False)
     return (
-        df.filter(F.col(col).isNotNull())
-        .select(F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
+        _dh_expand(df, col, n_hashes, m_words * 63)
         .select(
-            "h1", "h2",
-            F.explode(
-                F.array(*[F.lit(i) for i in range(n_hashes)])
-            ).alias("i"),
-        )
-        .select(F.expr(f"(h1 + i * h2) % {m_bits}").alias("bit"))
-        .select(
-            F.expr("bit DIV 63").alias("word_idx"),
+            F.expr("slot DIV 63").alias("word_idx"),
             F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))"
+                "shiftleft(CAST(1 AS BIGINT), CAST(slot % 63 AS INT))"
             ).alias("mask"),
         )
         .groupBy("word_idx")
@@ -305,26 +332,19 @@ def bloom_probe(
     """(value, member) for the DISTINCT non-null values of ``col`` in
     ``probes``, against a :func:`bloom_build` bitmap of the SAME shape.
     member=true may be a false positive; member=false is definitive."""
-    m_bits = m_words * 63
-    h1, h2 = _bloom_h12("value", duck=False)
-    expanded = (
+    distinct_vals = (
         probes.filter(F.col(col).isNotNull())
         .select(F.col(col).alias("value"))
         .distinct()
-        .select(
-            "value", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"),
-            F.explode(
-                F.array(*[F.lit(i) for i in range(n_hashes)])
-            ).alias("i"),
-        )
-        .select("value", F.expr(f"(h1 + i * h2) % {m_bits}").alias("bit"))
-        .select(
-            "value",
-            F.expr("bit DIV 63").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))"
-            ).alias("mask"),
-        )
+    )
+    expanded = _dh_expand(
+        distinct_vals, "value", n_hashes, m_words * 63, keep=("value",)
+    ).select(
+        "value",
+        F.expr("slot DIV 63").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(slot % 63 AS INT))"
+        ).alias("mask"),
     )
     hit = F.coalesce(
         F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
@@ -341,16 +361,10 @@ def bloom_oracle_sql(
     source_sql: str, col: str, m_words: int = 1024, n_hashes: int = 4
 ) -> str:
     """DuckDB twin of :func:`bloom_build` over ``source_sql``."""
-    m_bits = m_words * 63
-    h1, h2 = _bloom_h12(col, duck=True)
     return f"""
-        SELECT bit // 63 AS word_idx,
-               bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS bits
-        FROM (
-            SELECT ({h1} + i * {h2}) % {m_bits} AS bit
-            FROM ({source_sql}), range({n_hashes}) t(i)
-            WHERE {col} IS NOT NULL
-        )
+        SELECT slot // 63 AS word_idx,
+               bit_or(1::BIGINT << CAST(slot % 63 AS INT)) AS bits
+        FROM ({_dh_sql(source_sql, col, n_hashes, m_words * 63)})
         GROUP BY 1
     """
 
@@ -364,20 +378,20 @@ def bloom_probe_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`bloom_probe`: (value, member) for distinct
     non-null probe values against ``bloom_sql``'s (word_idx, bits)."""
-    m_bits = m_words * 63
-    h1, h2 = _bloom_h12("value", duck=True)
+    distinct_sql = (
+        f"SELECT DISTINCT {col} AS value FROM ({probe_sql}) "
+        f"WHERE {col} IS NOT NULL"
+    )
+    expand = _dh_sql(
+        distinct_sql, "value", n_hashes, m_words * 63, keep=("value",)
+    )
     return f"""
         SELECT value,
                bool_and(COALESCE((bits & mask) = mask, FALSE)) AS member
         FROM (
-            SELECT value, bit // 63 AS word_idx,
-                   1::BIGINT << CAST(bit % 63 AS INT) AS mask
-            FROM (
-                SELECT value, ({h1} + i * {h2}) % {m_bits} AS bit
-                FROM (SELECT DISTINCT {col} AS value FROM ({probe_sql})
-                      WHERE {col} IS NOT NULL),
-                     range({n_hashes}) t(i)
-            )
+            SELECT value, slot // 63 AS word_idx,
+                   1::BIGINT << CAST(slot % 63 AS INT) AS mask
+            FROM ({expand})
         )
         LEFT JOIN ({bloom_sql}) USING (word_idx)
         GROUP BY value
@@ -408,16 +422,9 @@ def cms_build(
     (row_i, bucket)."""
     if width < 1 or not 1 <= depth <= 16:
         raise ValueError(f"bad cms shape ({width=}, {depth=})")
-    h1, h2 = _bloom_h12(col, duck=False)
     return (
-        df.filter(F.col(col).isNotNull())
-        .select(F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
-        .select(
-            F.explode(
-                F.array(*[F.lit(i) for i in range(depth)])
-            ).alias("row_i"),
-            F.expr(f"(h1 + row_i * h2) % {width}").alias("bucket"),
-        )
+        _dh_expand(df, col, depth, width)
+        .select(F.col("i").alias("row_i"), F.col("slot").alias("bucket"))
         .groupBy("row_i", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -433,22 +440,17 @@ def cms_query(
     """(value, est) for the DISTINCT non-null values of ``col`` in
     ``probes`` against a :func:`cms_build` grid of the SAME shape.
     ``est >= true count`` always (collisions only ever add)."""
-    h1, h2 = _bloom_h12("value", duck=False)
-    expanded = (
+    distinct_vals = (
         probes.filter(F.col(col).isNotNull())
         .select(F.col(col).alias("value"))
         .distinct()
-        .select(
-            "value", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"),
-            F.explode(
-                F.array(*[F.lit(i) for i in range(depth)])
-            ).alias("row_i"),
-        )
-        .select(
-            "value",
-            "row_i",
-            F.expr(f"(h1 + row_i * h2) % {width}").alias("bucket"),
-        )
+    )
+    expanded = _dh_expand(
+        distinct_vals, "value", depth, width, keep=("value",)
+    ).select(
+        "value",
+        F.col("i").alias("row_i"),
+        F.col("slot").alias("bucket"),
     )
     return (
         expanded.join(F.broadcast(cms), ["row_i", "bucket"], "left")
@@ -461,12 +463,9 @@ def cms_oracle_sql(
     source_sql: str, col: str, width: int = 1024, depth: int = 4
 ) -> str:
     """DuckDB twin of :func:`cms_build` over ``source_sql``."""
-    h1, h2 = _bloom_h12(col, duck=True)
     return f"""
-        SELECT i AS row_i, ({h1} + i * {h2}) % {width} AS bucket,
-               COUNT(*)::BIGINT AS cnt
-        FROM ({source_sql}), range({depth}) t(i)
-        WHERE {col} IS NOT NULL
+        SELECT i AS row_i, slot AS bucket, COUNT(*)::BIGINT AS cnt
+        FROM ({_dh_sql(source_sql, col, depth, width)})
         GROUP BY 1, 2
     """
 
@@ -480,15 +479,15 @@ def cms_query_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`cms_query`: (value, est) for distinct
     non-null probe values against ``cms_sql``'s (row_i, bucket, cnt)."""
-    h1, h2 = _bloom_h12("value", duck=True)
+    distinct_sql = (
+        f"SELECT DISTINCT {col} AS value FROM ({probe_sql}) "
+        f"WHERE {col} IS NOT NULL"
+    )
+    expand = _dh_sql(distinct_sql, "value", depth, width, keep=("value",))
     return f"""
         SELECT value, MIN(COALESCE(cnt, 0))::BIGINT AS est
         FROM (
-            SELECT value, i AS row_i,
-                   ({h1} + i * {h2}) % {width} AS bucket
-            FROM (SELECT DISTINCT {col} AS value FROM ({probe_sql})
-                  WHERE {col} IS NOT NULL),
-                 range({depth}) t(i)
+            SELECT value, i AS row_i, slot AS bucket FROM ({expand})
         )
         LEFT JOIN ({cms_sql}) USING (row_i, bucket)
         GROUP BY value

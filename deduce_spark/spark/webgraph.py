@@ -73,8 +73,16 @@ def hits_scores(
             .agg(F.sum("score").alias("raw"))
         )
         mx = raw.agg(F.max("raw").alias("mx"))
-        return raw.crossJoin(F.broadcast(mx)).select(
-            "node", F.expr(f"(raw * {scale}) DIV mx").alias("score")
+        # eager cut per half-step: raw appears twice above (score + max)
+        # and each round chains on the previous, so without it the plan
+        # doubles per half-step (f(n) = 2*(1+f(n-1)) — 92 scans at
+        # iters=2 in the pre-fix plan inventory vs 4 after)
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node", F.expr(f"(raw * {scale}) DIV mx").alias("score")
+            )
+            .localCheckpoint(eager=True)
         )
 
     auth = None

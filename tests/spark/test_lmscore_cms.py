@@ -44,6 +44,13 @@ class TestBigramLM:
         assert all(r["cost_q10"] >= 0 for r in out)
         assert all(r["n_bigrams"] >= 1 for r in out)
 
+    def test_empty_reference_raises(self, spark):
+        # V = 0 would make every cost -1024 and the ranking constant —
+        # must fail fast instead
+        docs = _docs(spark, [(1, "a b c"), (2, "single")])
+        with pytest.raises(ValueError, match="no bigrams"):
+            bigram_lm_score(docs, docs.filter("doc_id = 2"))
+
     def test_partitioning_invariant(self, spark):
         rows = [
             (i, " ".join(f"w{(i * j) % 13}" for j in range(12)))
