@@ -453,7 +453,7 @@ _DEMOTED_ORDER = [
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
     "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
     "hits_link_hosts", "lm_quality_score", "cms_word_counts",
-    "kcore_link_hosts",
+    "kcore_link_hosts", "hll_words_by_lang", "doclen_log2_hist",
 ]
 
 
@@ -927,6 +927,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cms_word_counts"] = cms_word_counts
+
+    def hll_words_by_lang(spark, sf_dir):
+        # sharded approx-distinct: one independent HLL register set per
+        # lang (the distinct-X-per-key workhorse); mergeable per group
+        from deduce_spark.spark.sketches import hll_registers
+
+        words = (
+            _docs(spark, sf_dir)
+            .select("lang", F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+        )
+        return hll_registers(
+            words, "word", p=6, group_cols=("lang",)
+        ).orderBy("lang", "bucket")
+
+    q["hll_words_by_lang"] = hll_words_by_lang
+
+    def doclen_log2_hist(spark, sf_dir):
+        # power-of-two doc-length histogram per lang — the mergeable
+        # distribution sketch (<= ~64 buckets/group at any corpus size)
+        from deduce_spark.spark.sketches import log2_histogram
+
+        return log2_histogram(
+            _docs(spark, sf_dir), "n_chars", group_cols=("lang",)
+        ).orderBy("lang", "bucket")
+
+    q["doclen_log2_hist"] = doclen_log2_hist
 
     def embed_hash_docs(spark, sf_dir):
         # hashing-trick document embeddings (no vocab, no training, no
@@ -1969,6 +1996,32 @@ def _kcore_oracle() -> str:
     return kcore_oracle_sql(_host_edges_sql(), k=2, rounds=2)
 
 
+def _hll_by_lang_oracle() -> str:
+    from deduce_spark.spark.sketches import hll_oracle_sql
+
+    words = """
+        SELECT lang, word
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+    """
+    return (
+        hll_oracle_sql(words, "word", p=6, group_cols=("lang",))
+        + " ORDER BY lang, bucket"
+    )
+
+
+def _doclen_hist_oracle() -> str:
+    from deduce_spark.spark.sketches import log2_histogram_oracle_sql
+
+    return (
+        log2_histogram_oracle_sql(
+            "SELECT lang, n_chars FROM documents", "n_chars", ("lang",)
+        )
+        + " ORDER BY lang, bucket"
+    )
+
+
 def _lm_score_oracle() -> str:
     from deduce_spark.spark.lmscore import bigram_lm_score_oracle_sql
 
@@ -2775,6 +2828,8 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "lm_quality_score": _lm_score_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
+        "hll_words_by_lang": _hll_by_lang_oracle(),
+        "doclen_log2_hist": _doclen_hist_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

@@ -31,12 +31,17 @@ from pyspark.sql import functions as F
 
 
 def hll_registers(
-    df: DataFrame, col: str, p: int = 9
+    df: DataFrame, col: str, p: int = 9, group_cols: tuple = ()
 ) -> DataFrame:
-    """(bucket, max_rho) HLL register table for the values of ``col``.
+    """(group_cols..., bucket, max_rho) HLL register table for the
+    values of ``col``, one independent sketch per group.
 
     Null values are ignored (SQL COUNT DISTINCT semantics).  Output has
-    at most 2^p rows; absent buckets mean register value 0.
+    at most 2^p rows per group; absent buckets mean register value 0.
+    With ``group_cols`` this is the sharded approx-distinct workhorse
+    (distinct visitors per host, distinct tokens per lang): each
+    group's register set is independently mergeable by max, so sketches
+    shard, roll up, and union across corpora without ever rescanning.
     """
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
@@ -51,28 +56,35 @@ def hll_registers(
     return (
         df.filter(F.col(col).isNotNull())
         .select(
+            *group_cols,
             F.expr(bucket).cast("int").alias("bucket"),
             F.expr(rho).cast("int").alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_oracle_sql(source_sql: str, col: str, p: int = 9) -> str:
+def hll_oracle_sql(
+    source_sql: str, col: str, p: int = 9, group_cols: tuple = ()
+) -> str:
     """DuckDB twin of ``hll_registers`` over ``source_sql`` (a query or
-    table exposing ``col``)."""
+    table exposing ``col`` and any ``group_cols``)."""
     rem_bits = 32 - p
     h32 = f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
     rem = f"(({h32}) % {2 ** rem_bits})"
+    groups = "".join(f"{g}, " for g in group_cols)
+    group_by = ", ".join(
+        str(i + 1) for i in range(len(group_cols) + 1)
+    )
     return f"""
-        SELECT CAST(({h32}) // {2 ** rem_bits} AS INT) AS bucket,
+        SELECT {groups}CAST(({h32}) // {2 ** rem_bits} AS INT) AS bucket,
                CAST(MAX(CASE WHEN {rem} = 0 THEN {rem_bits + 1}
                         ELSE {rem_bits} - length(bin({rem})) + 1 END) AS INT)
                    AS max_rho
         FROM ({source_sql})
         WHERE {col} IS NOT NULL
-        GROUP BY 1
+        GROUP BY {group_by}
     """
 
 
@@ -492,3 +504,73 @@ def cms_query_oracle_sql(
         LEFT JOIN ({cms_sql}) USING (row_i, bucket)
         GROUP BY value
     """
+
+
+# -- log2 histogram --------------------------------------------------------
+# The distribution-shape member of the sketch family: power-of-two
+# bucketed counts (bucket = floor(log2 x), the HDR-histogram idea with
+# base-2 buckets).  Exact-integer via the same length(bin(x)) trick as
+# HLL, so both engines agree bit-for-bit; mergeable by per-bucket SUM;
+# at most ~64 buckets per group regardless of data size — the textbook
+# map-combinable shape for doc-length / latency / degree distributions
+# at 10^12 rows.  Approximate quantiles come from the collected
+# histogram driver-side (log2_histogram_quantile): within a factor of
+# 2 always, exact in the bucket index.
+
+
+def log2_histogram(
+    df: DataFrame, col: str, group_cols: tuple = ()
+) -> DataFrame:
+    """(group_cols..., bucket, cnt) power-of-two histogram of a
+    NON-NEGATIVE integer column; bucket = floor(log2 x), with x = 0 in
+    bucket -1.  Nulls ignored; negative values raise downstream (bin()
+    of a negative is 64 chars — callers must pre-clamp, documented)."""
+    x = f"CAST({col} AS BIGINT)"
+    bucket = (
+        f"CASE WHEN {x} = 0 THEN -1 "
+        f"ELSE length(bin({x})) - 1 END"
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, F.expr(bucket).cast("int").alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def log2_histogram_oracle_sql(
+    source_sql: str, col: str, group_cols: tuple = ()
+) -> str:
+    """DuckDB twin of :func:`log2_histogram` over ``source_sql``."""
+    x = f"CAST({col} AS BIGINT)"
+    groups = "".join(f"{g}, " for g in group_cols)
+    group_by = ", ".join(str(i + 1) for i in range(len(group_cols) + 1))
+    return f"""
+        SELECT {groups}CAST(CASE WHEN {x} = 0 THEN -1
+                    ELSE length(bin({x})) - 1 END AS INT) AS bucket,
+               COUNT(*)::BIGINT AS cnt
+        FROM ({source_sql})
+        WHERE {col} IS NOT NULL
+        GROUP BY {group_by}
+    """
+
+
+def log2_histogram_quantile(
+    buckets: list[tuple[int, int]], q_permille: int
+) -> int:
+    """Upper bound (2^(bucket+1) - 1) of the bucket holding the
+    ``q_permille``-quantile of a collected (bucket, cnt) histogram —
+    driver-side over <= ~64 rows, the hll_estimate convention."""
+    if not 0 <= q_permille <= 1000:
+        raise ValueError(f"q_permille must be in [0, 1000], got {q_permille}")
+    rows = sorted(buckets)
+    total = sum(c for _, c in rows)
+    if total == 0:
+        raise ValueError("empty histogram")
+    rank = (q_permille * total + 999) // 1000  # ceil; rank 0 -> first row
+    seen = 0
+    for b, c in rows:
+        seen += c
+        if seen >= max(rank, 1):
+            return 0 if b < 0 else 2 ** (b + 1) - 1
+    return 0 if rows[-1][0] < 0 else 2 ** (rows[-1][0] + 1) - 1
