@@ -454,6 +454,7 @@ _DEMOTED_ORDER = [
     "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
     "hits_link_hosts", "lm_quality_score", "cms_word_counts",
     "kcore_link_hosts", "hll_words_by_lang", "doclen_log2_hist",
+    "lpa_link_hosts",
 ]
 
 
@@ -903,6 +904,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kcore_peel(host_edges, k=2, rounds=2)
 
     q["kcore_link_hosts"] = kcore_link_hosts
+
+    def lpa_link_hosts(spark, sf_dir):
+        # synchronous min-tie-break label propagation on the host graph
+        # (mirror-cluster / template-family detection); fixed rounds
+        # unroll into joins + per-node window ranks both engines replay
+        from deduce_spark.spark.webgraph import label_propagation
+        from deduce_spark.spark.weburl import extract_links, url_host
+
+        edges = extract_links(
+            _link_pages(spark, sf_dir), "html", "url", canonical=True
+        )
+        host_edges = edges.select(
+            url_host(F.col("src_url")).alias("src"),
+            url_host(F.col("dst_url")).alias("dst"),
+        )
+        return label_propagation(host_edges, rounds=2)
+
+    q["lpa_link_hosts"] = lpa_link_hosts
 
     def cms_word_counts(spark, sf_dir):
         # Count-Min point-frequency sketch (the 4th mergeable-sketch
@@ -1996,6 +2015,12 @@ def _kcore_oracle() -> str:
     return kcore_oracle_sql(_host_edges_sql(), k=2, rounds=2)
 
 
+def _lpa_oracle() -> str:
+    from deduce_spark.spark.webgraph import label_propagation_oracle_sql
+
+    return label_propagation_oracle_sql(_host_edges_sql(), rounds=2)
+
+
 def _hll_by_lang_oracle() -> str:
     from deduce_spark.spark.sketches import hll_oracle_sql
 
@@ -2830,6 +2855,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),
         "doclen_log2_hist": _doclen_hist_oracle(),
+        "lpa_link_hosts": _lpa_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

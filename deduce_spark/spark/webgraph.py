@@ -25,7 +25,7 @@ crossJoin), never a collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -237,4 +237,89 @@ def kcore_oracle_sql(edges_sql: str, k: int = 2, rounds: int = 3) -> str:
         SELECT a AS node, COUNT(*)::BIGINT AS deg
         FROM g{rounds} GROUP BY 1 ORDER BY 1
     """
+    )
+
+
+# -- label propagation communities -----------------------------------------
+# Synchronous label propagation (Raghavan et al. 2007) with a
+# deterministic tie-break: each round every node adopts the most
+# frequent label among its neighbours, ties broken by the SMALLEST
+# label.  Classic near-linear community detection for host graphs
+# (mirror clusters, link farms, template families).  Async LPA is
+# run-order dependent; the synchronous min-tie-break variant is a pure
+# function of the graph, so a FIXED round count unrolls into joins +
+# per-node window ranks that DuckDB replays exactly (same discipline as
+# hits_scores / kcore_peel, incl. the per-round lineage cut).
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, label) after ``rounds`` synchronous LPA steps on the
+    symmetrized simple graph; every node starts as its own label.
+    Isolated nodes (self-loops only) keep their own label."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    g = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = g.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        votes = (
+            g.join(
+                F.broadcast(labels.withColumnRenamed("node", "b")), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        win = Window.partitionBy("node").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")
+
+
+def label_propagation_oracle_sql(edges_sql: str, rounds: int = 2) -> str:
+    """DuckDB twin of :func:`label_propagation`: ``edges_sql`` must
+    yield (src, dst); returns (node, label) ordered by node."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    ctes = [
+        f"""fwd AS (SELECT src AS a, dst AS b FROM ({edges_sql})
+             WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)""",
+        "g AS (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM fwd UNION ALL SELECT b, a FROM fwd))",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM g)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""v{r} AS (SELECT g.a AS node, l.label, COUNT(*) AS cnt
+                 FROM g JOIN l{r - 1} l ON g.b = l.node GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{r} AS (SELECT node, label FROM (
+                 SELECT node, label, ROW_NUMBER() OVER (
+                     PARTITION BY node ORDER BY cnt DESC, label ASC
+                 ) AS rn FROM v{r}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, label FROM l{rounds} ORDER BY node"
     )

@@ -138,3 +138,72 @@ class TestKCore:
             ).fetchall()
         ]
         assert got == want and len(got) > 0
+
+
+class TestLabelPropagation:
+    def _run(self, spark, pairs, **kw):
+        from deduce_spark.spark.webgraph import label_propagation
+
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(_edges(spark, pairs), **kw).collect()
+        }
+
+    def test_two_cliques_converge_to_min_labels(self, spark):
+        # two 4-cliques joined by one bridge edge: by round 2 each
+        # clique's majority overrides the round-1 tie-break leakage
+        # through the bridge, so each collapses onto its own smallest
+        # member's label (3-cliques would NOT separate: with all-tie
+        # round-1 votes the global min floods across the bridge — the
+        # documented LPA pathology on tie-heavy graphs)
+        cl = lambda p: [(f"{p}{i}", f"{p}{j}") for i in range(4)
+                        for j in range(4) if i < j]
+        pairs = cl("a") + cl("b") + [("a0", "b0")]
+        got = self._run(spark, pairs, rounds=2)
+        assert all(got[f"a{i}"] == "a0" for i in range(4))
+        assert all(got[f"b{i}"] == "b0" for i in range(4))
+
+    def test_deterministic_tie_break_is_min(self, spark):
+        # single edge x-y: each adopts the other's label round 1 (one
+        # neighbour each, no tie); star with two leaves: center sees two
+        # labels with cnt 1 -> takes the smaller
+        got = self._run(spark, [("c", "m"), ("c", "k")], rounds=1)
+        assert got["c"] == "k"
+
+    def test_validation_and_selfloop_drop(self, spark):
+        import pytest as _pytest
+
+        from deduce_spark.spark.webgraph import label_propagation
+
+        with _pytest.raises(ValueError):
+            label_propagation(_edges(spark, [("a", "b")]), rounds=0)
+        got = self._run(spark, [("a", "a"), ("a", "b")], rounds=1)
+        assert set(got) == {"a", "b"}
+
+    def test_twin_parity(self, spark):
+        from deduce_spark.spark.webgraph import (
+            label_propagation, label_propagation_oracle_sql,
+        )
+
+        pairs = [
+            (f"h{(i * 5) % 17}", f"h{(i * i + 1) % 17}") for i in range(50)
+        ] + [("x1", "x2"), ("x2", "x3")]
+        got = [
+            tuple(r)
+            for r in label_propagation(
+                _edges(spark, pairs), rounds=2
+            ).collect()
+        ]
+        import pandas as pd
+
+        duck = duckdb.connect()
+        duck.register("e", pd.DataFrame(pairs, columns=["src", "dst"]))
+        want = [
+            tuple(r)
+            for r in duck.sql(
+                label_propagation_oracle_sql(
+                    "SELECT src, dst FROM e", rounds=2
+                )
+            ).fetchall()
+        ]
+        assert got == want and len(got) > 0
