@@ -454,7 +454,7 @@ _DEMOTED_ORDER = [
     "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
     "hits_link_hosts", "lm_quality_score", "cms_word_counts",
     "kcore_link_hosts", "hll_words_by_lang", "doclen_log2_hist",
-    "lpa_link_hosts",
+    "lpa_link_hosts", "events_funnel", "events_cohort_retention",
 ]
 
 
@@ -922,6 +922,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(host_edges, rounds=2)
 
     q["lpa_link_hosts"] = lpa_link_hosts
+
+    def events_funnel(spark, sf_dir):
+        # time-ordered funnel (view -> click -> purchase), earliest-
+        # completion semantics; the event_id slice thins the log so step
+        # ordering actually discriminates (the full synthetic log has
+        # every user completing everything)
+        from deduce_spark.spark.relational import funnel_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return funnel_counts(
+            ev.filter(F.col("event_id") % 37 == 0),
+            ["view", "click", "purchase"],
+        )
+
+    q["events_funnel"] = events_funnel
+
+    def events_cohort_retention(spark, sf_dir):
+        # cohort retention triangle over 3-day periods on a thinned log
+        from deduce_spark.spark.relational import cohort_retention
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cohort_retention(
+            ev.filter(F.col("event_id") % 37 == 0), period_s=259200
+        )
+
+    q["events_cohort_retention"] = events_cohort_retention
 
     def cms_word_counts(spark, sf_dir):
         # Count-Min point-frequency sketch (the 4th mergeable-sketch
@@ -2021,6 +2047,24 @@ def _lpa_oracle() -> str:
     return label_propagation_oracle_sql(_host_edges_sql(), rounds=2)
 
 
+def _funnel_oracle() -> str:
+    from deduce_spark.spark.relational import funnel_oracle_sql
+
+    return funnel_oracle_sql(
+        ["view", "click", "purchase"],
+        table="(SELECT * FROM events WHERE event_id % 37 = 0)",
+    )
+
+
+def _cohort_oracle() -> str:
+    from deduce_spark.spark.relational import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql(
+        table="(SELECT * FROM events WHERE event_id % 37 = 0)",
+        period_s=259200,
+    )
+
+
 def _hll_by_lang_oracle() -> str:
     from deduce_spark.spark.sketches import hll_oracle_sql
 
@@ -2856,6 +2900,8 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hll_words_by_lang": _hll_by_lang_oracle(),
         "doclen_log2_hist": _doclen_hist_oracle(),
         "lpa_link_hosts": _lpa_oracle(),
+        "events_funnel": _funnel_oracle(),
+        "events_cohort_retention": _cohort_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

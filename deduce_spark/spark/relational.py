@@ -367,3 +367,144 @@ def fuzzy_pairs_dl1(
             yield batch[pd.Series(mask, index=batch.index)]
 
     return cand.mapInPandas(run, schema="a long, b long, na string, nb string")
+
+
+# -- behavioral analytics: funnel + cohort retention -----------------------
+# The two classic event-log reductions next to sessionization.  Both are
+# exact-integer over epoch seconds (Spark CAST(ts AS LONG) == DuckDB
+# epoch_us(ts) // 1_000_000 — floor for positive epochs) so the DuckDB
+# twins value-hash match.  Scale shape: every join and aggregate is
+# keyed on user_id (co-partitioned chain, one shuffle key throughout),
+# per-step/period tables are pre-aggregated (<= |users| rows) before
+# joining, and the final outputs are tiny (|steps| rows / cohort grid).
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step_idx, step, users) — users whose events complete each prefix
+    of ``steps`` in strict time order (earliest-completion semantics:
+    step i+1 must occur strictly after the user's EARLIEST completion of
+    step i; ties at identical timestamps do not advance the funnel)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct")
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+        epoch.alias("s"),
+    )
+    reached = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("s").alias("s"))
+    )
+    out = reached.agg(
+        F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"),
+        F.count(F.lit(1)).cast("long").alias("users"),
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.filter(F.col("t") == step)
+            .join(reached.withColumnRenamed("s", "prev_s"), "u")
+            .filter(F.col("s") > F.col("prev_s"))
+            .groupBy("u")
+            .agg(F.min("s").alias("s"))
+        )
+        reached = nxt
+        out = out.unionAll(
+            reached.agg(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"),
+                F.count(F.lit(1)).cast("long").alias("users"),
+            )
+        )
+    return out.orderBy("step_idx")
+
+
+def funnel_oracle_sql(
+    steps: list[str],
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`funnel_counts`."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    epoch = f"epoch_us({ts_col}) // 1000000"
+    ctes = [
+        f"""ev AS (SELECT {user_col} AS u, {type_col} AS t,
+              {epoch} AS s FROM {table})""",
+        f"""r0 AS (SELECT u, MIN(s) AS s FROM ev
+              WHERE t = {lit(steps[0])} GROUP BY 1)""",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"""r{i} AS (SELECT ev.u, MIN(ev.s) AS s
+                 FROM ev JOIN r{i - 1} p ON ev.u = p.u AND ev.s > p.s
+                 WHERE ev.t = {lit(step)} GROUP BY 1)"""
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, {lit(s)} AS step, "
+        f"COUNT(*)::BIGINT AS users FROM r{i}"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + f" {arms} ORDER BY step_idx"
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 604800,
+) -> DataFrame:
+    """(cohort_period, period_offset, users) — users active in period
+    ``cohort_period + period_offset`` among those whose FIRST event fell
+    in ``cohort_period`` (periods = epoch seconds DIV ``period_s``; the
+    classic retention triangle, offset 0 row = cohort size)."""
+    if period_s < 1:
+        raise ValueError("period_s must be >= 1")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("s"),
+    ).select("u", F.expr(f"s DIV {period_s}").alias("p"))
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "u")
+        .groupBy(
+            F.col("cohort").alias("cohort_period"),
+            (F.col("p") - F.col("cohort")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("cohort_period", "period_offset")
+    )
+
+
+def cohort_retention_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 604800,
+) -> str:
+    """DuckDB twin of :func:`cohort_retention`."""
+    epoch = f"epoch_us({ts_col}) // 1000000"
+    return f"""
+        WITH ev AS (SELECT {user_col} AS u,
+                           ({epoch}) // {period_s} AS p FROM {table}),
+        first AS (SELECT u, MIN(p) AS cohort FROM ev GROUP BY 1),
+        active AS (SELECT DISTINCT u, p FROM ev)
+        SELECT cohort AS cohort_period, p - cohort AS period_offset,
+               COUNT(*)::BIGINT AS users
+        FROM active JOIN first USING (u)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
