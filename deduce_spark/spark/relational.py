@@ -508,3 +508,41 @@ def cohort_retention_oracle_sql(
         FROM active JOIN first USING (u)
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join with hot-key salting; row-multiset identical to
+    ``left.join(right, key)``.
+
+    A plain shuffled join sends every row of a hot key — both sides —
+    to ONE reduce task; at 100 TB a 50%-hot key makes that task the
+    whole job, and broadcast is off the table when the right side is
+    also large.  The classic fix: the LEFT rows of a key scatter over
+    ``n_salts`` sub-keys (deterministic hash of a per-row id, same
+    device as :func:`salted_count`), the RIGHT rows replicate across
+    ALL ``n_salts`` sub-keys (explode of a literal range — a narrow
+    ``n_salts``-fold blowup of the right side only), and the join runs
+    on (key, salt): each hot key now occupies ``n_salts`` tasks.
+
+    Use when BOTH sides are too big to broadcast and the key is skewed;
+    prefer ``broadcast()`` for small dims and AQE skew-join when plan
+    statistics can see the skew (this operator is the explicit form for
+    when they cannot, e.g. skew appears only after upstream filters).
+    Output columns: key, then left columns, then right columns (minus
+    the join key), like the plain join."""
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+    ).cast("int")
+    lt = left.withColumn("_salt", salt)
+    rt = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return lt.join(rt, [key, "_salt"]).drop("_salt")
