@@ -1,0 +1,198 @@
+"""End-to-end corpus-curation job — the training-data production path.
+
+    python jobs/package_pyfiles.py                   # -> dist/kgspark.zip
+    spark-submit --py-files dist/kgspark.zip \\
+        jobs/curate_corpus.py --input /root/testdata/sf0.01/documents.parquet \\
+        --output /tmp/curated
+
+Composes the curation operators into the pipeline an LLM training corpus
+actually flows through, in order:
+
+    stats     textstats_all — tokens/quality/lang/fingerprint, ONE scan
+    lm        bigram_lm_score vs a reference slice (CCNet-style quality)
+    verdicts  corpus_filter rules + contamination + LM threshold, one
+              verdict per doc with the FIRST failing rule as drop reason
+              (too_short | repetitive | dominated | duplicate |
+               contaminated | off_model | keep)
+    dedup     minhash_dedup over kept docs — near-dup clusters collapse
+              to their canonical doc
+    packs     pack_sequences over surviving docs — deterministic
+              doc -> training-pack assignment
+
+Outputs under --output (Iceberg-layout tables, see icetable.py):
+    doc_stats/  lm_scores/  verdicts/  kept/  packs/  _lineage/
+
+Each stage appends a lineage record AFTER its table commits, carrying
+the run input's content fingerprint (count + bit_xor of xxhash64) and
+row/wall metrics.  Re-running the same command resumes: stages whose
+lineage already shows an ok record for the SAME input fingerprint and
+whose output table exists are skipped; ``--no-resume`` forces a full
+rebuild.  Stage order is a dependency chain, so a changed input
+invalidates every stage (the fingerprint differs) while a crash between
+stages restarts exactly at the first uncommitted stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+CONTAM_MAX_PERMILLE = 100
+LM_MAX_MILLIBITS = 15_000
+
+
+def _input_fingerprint(docs) -> str:
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("doc_id", "text")).alias("x"),
+    ).collect()[0]
+    return f"{int(row['n'])}-{int(row['x'] or 0):x}"
+
+
+def _stage_done(log, table, name: str, fp: str) -> bool:
+    if not table.exists():
+        return False
+    return any(
+        r.get("stage") == name
+        and r.get("status") == "ok"
+        and r.get("input_fp") == fp
+        for r in log.records()
+    )
+
+
+def run_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    resume: bool = True,
+    seq_len: int = 2048,
+    lm_ref_mod: int = 7,
+    bench_mod: int = 101,
+) -> dict:
+    from deduce_spark.spark.curation import (
+        corpus_filter, decontam_overlap, pack_sequences,
+    )
+    from deduce_spark.spark.dedup import minhash_dedup
+    from deduce_spark.spark.iceberg_catalog import open_table
+    from deduce_spark.spark.lineage import LineageLog, stage_record
+    from deduce_spark.spark.lmscore import bigram_lm_score
+    from deduce_spark.spark.textstats import textstats_all
+
+    out = Path(output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    log = LineageLog(out / "_lineage")
+    run_id = uuid.uuid4().hex[:12]
+    docs = spark.read.parquet(input_path).select("doc_id", "text")
+    fp = _input_fingerprint(docs)
+    summary: dict = {"run_id": run_id, "input_fp": fp, "stages": {}}
+
+    def stage(name: str, build, table_name: str, partition_by=()):
+        table = open_table(spark, str(out / table_name))
+        if resume and _stage_done(log, table, name, fp):
+            summary["stages"][name] = {"skipped": True}
+            return table.read(spark)
+        t0 = time.time()
+        df = build()
+        table.write(df, partition_by=list(partition_by))
+        result = table.read(spark)
+        rows = result.count()
+        log.append([
+            stage_record(
+                name, log.next_seq(), run_id, rows,
+                time.time() - t0, input_fp=fp,
+            )
+        ])
+        summary["stages"][name] = {"rows": rows,
+                                   "wall_s": round(time.time() - t0, 2)}
+        return result
+
+    stats = stage("stats", lambda: textstats_all(docs), "doc_stats")
+
+    lm = stage(
+        "lm",
+        lambda: bigram_lm_score(
+            docs, docs.filter(F.col("doc_id") % lm_ref_mod == 0)
+        ),
+        "lm_scores",
+    )
+
+    def build_verdicts():
+        base = corpus_filter(docs)
+        bench = docs.filter(F.col("doc_id") % bench_mod == 0)
+        contam = decontam_overlap(docs, bench)
+        return (
+            base.join(contam.select("doc_id", "contam_permille"), "doc_id")
+            .join(lm.select("doc_id", "ppl_millibits"), "doc_id", "left")
+            .select(
+                "doc_id", "n_words", "contam_permille",
+                F.coalesce("ppl_millibits", F.lit(0)).alias(
+                    "ppl_millibits"
+                ),
+                F.expr(
+                    "case when verdict <> 'keep' then verdict "
+                    f"when contam_permille >= {CONTAM_MAX_PERMILLE} "
+                    "then 'contaminated' "
+                    f"when ppl_millibits > {LM_MAX_MILLIBITS} "
+                    "then 'off_model' else 'keep' end"
+                ).alias("verdict"),
+            )
+            .withColumn("keep", F.col("verdict") == "keep")
+        )
+
+    verdicts = stage("verdicts", build_verdicts, "verdicts")
+
+    def build_kept():
+        kept_docs = docs.join(
+            verdicts.filter("keep").select("doc_id"), "doc_id"
+        )
+        clusters = minhash_dedup(kept_docs)
+        survivors = kept_docs.join(clusters, "doc_id", "left").filter(
+            F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+            == F.col("doc_id")
+        )
+        return survivors.select("doc_id")
+
+    kept = stage("dedup", build_kept, "kept")
+
+    def build_packs():
+        toks = kept.join(
+            stats.select("doc_id", "ws_tokens"), "doc_id"
+        )
+        return pack_sequences(toks, tokens_col="ws_tokens",
+                              seq_len=seq_len)
+
+    stage("packs", build_packs, "packs")
+    return summary
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--seq-len", type=int, default=2048)
+    args = p.parse_args(argv)
+    spark = (
+        SparkSession.builder.appName("curate_corpus")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    try:
+        summary = run_job(
+            spark, args.input, args.output,
+            resume=not args.no_resume, seq_len=args.seq_len,
+        )
+        print(summary)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""curate_corpus job: stage chain, verdict precedence, exact resume."""
+
+import shutil
+
+import pytest
+
+from jobs.curate_corpus import run_job
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def out_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("curated")
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, out_dir):
+    return run_job(spark, SF_DOCS, str(out_dir))
+
+
+class TestCurateCorpus:
+    def test_all_stages_ran_and_tables_exist(self, first_run, out_dir):
+        assert set(first_run["stages"]) == {
+            "stats", "lm", "verdicts", "dedup", "packs"
+        }
+        assert all(
+            "rows" in v for v in first_run["stages"].values()
+        )
+        for t in ("doc_stats", "lm_scores", "verdicts", "kept", "packs"):
+            assert (out_dir / t / "metadata").exists(), t
+
+    def test_verdicts_cover_all_docs_and_kept_subset(
+        self, spark, first_run, out_dir
+    ):
+        verdicts = spark.read.parquet(
+            str(sorted((out_dir / "verdicts" / "data").glob("snap-*"))[-1])
+        )
+        n_docs = spark.read.parquet(SF_DOCS).count()
+        assert verdicts.count() == n_docs
+        kept = verdicts.filter("keep").count()
+        assert 0 < kept < n_docs  # some doc must fail some rule
+        assert first_run["stages"]["dedup"]["rows"] <= kept
+
+    def test_contaminated_verdict_fires_on_bench_slice(
+        self, spark, out_dir
+    ):
+        verdicts = spark.read.parquet(
+            str(sorted((out_dir / "verdicts" / "data").glob("snap-*"))[-1])
+        )
+        # bench slice = doc_id % 101 == 0; those docs self-contaminate at
+        # 1000 permille, so each is 'contaminated' unless an earlier
+        # precedence rule already dropped it
+        flagged = {
+            r["doc_id"]: r["verdict"]
+            for r in verdicts.filter("doc_id % 101 = 0").collect()
+        }
+        assert flagged and all(v != "keep" for v in flagged.values())
+        assert "contaminated" in set(flagged.values())
+
+    def test_resume_skips_everything(self, spark, out_dir, first_run):
+        again = run_job(spark, SF_DOCS, str(out_dir))
+        assert all(
+            v == {"skipped": True} for v in again["stages"].values()
+        )
+
+    def test_crash_restart_recomputes_only_missing_stage(
+        self, spark, out_dir, first_run
+    ):
+        # simulate a crash that lost the packs table after its stage ran:
+        # the table is gone, so _stage_done is false and ONLY packs reruns
+        shutil.rmtree(out_dir / "packs")
+        again = run_job(spark, SF_DOCS, str(out_dir))
+        assert again["stages"]["packs"].get("skipped") is not True
+        assert again["stages"]["stats"] == {"skipped": True}
+        assert again["stages"]["dedup"] == {"skipped": True}
+        assert again["stages"]["packs"]["rows"] == first_run["stages"][
+            "packs"
+        ]["rows"]
+
+    def test_changed_input_invalidates_all_stages(
+        self, spark, out_dir, tmp_path, first_run
+    ):
+        subset = spark.read.parquet(SF_DOCS).filter("doc_id % 2 = 0")
+        sub_path = str(tmp_path / "docs_half.parquet")
+        subset.write.parquet(sub_path)
+        again = run_job(spark, sub_path, str(out_dir))
+        assert all(
+            v.get("skipped") is not True
+            for v in again["stages"].values()
+        )
+        assert again["input_fp"] != first_run["input_fp"]
