@@ -117,22 +117,27 @@ def hits_oracle_sql(
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         f"h0 AS (SELECT node, {scale}::BIGINT AS score FROM nodes)",
     ]
+    # AS MATERIALIZED: each raw CTE is referenced twice (score + MAX
+    # subquery), so default inlining doubles the plan per half-step —
+    # see kcore_oracle_sql for the measured blowup
     prev_hub = "h0"
     for t in range(1, iters + 1):
         ctes.append(
-            f"a{t}r AS (SELECT e.dst AS node, SUM(s.score) AS raw "
+            f"a{t}r AS MATERIALIZED "
+            f"(SELECT e.dst AS node, SUM(s.score) AS raw "
             f"FROM e JOIN {prev_hub} s ON e.src = s.node GROUP BY 1)"
         )
         ctes.append(
-            f"a{t} AS (SELECT node, (raw * {scale}) // "
+            f"a{t} AS MATERIALIZED (SELECT node, (raw * {scale}) // "
             f"(SELECT MAX(raw) FROM a{t}r) AS score FROM a{t}r)"
         )
         ctes.append(
-            f"h{t}r AS (SELECT e.src AS node, SUM(s.score) AS raw "
+            f"h{t}r AS MATERIALIZED "
+            f"(SELECT e.src AS node, SUM(s.score) AS raw "
             f"FROM e JOIN a{t} s ON e.dst = s.node GROUP BY 1)"
         )
         ctes.append(
-            f"h{t} AS (SELECT node, (raw * {scale}) // "
+            f"h{t} AS MATERIALIZED (SELECT node, (raw * {scale}) // "
             f"(SELECT MAX(raw) FROM h{t}r) AS score FROM h{t}r)"
         )
         prev_hub = f"h{t}"
@@ -223,12 +228,17 @@ def kcore_oracle_sql(edges_sql: str, k: int = 2, rounds: int = 3) -> str:
         "g0 AS (SELECT DISTINCT a, b FROM "
         "(SELECT a, b FROM fwd UNION ALL SELECT b, a FROM fwd))",
     ]
+    # AS MATERIALIZED (DuckDB-only; oracles never run on Spark): each
+    # round references the previous graph three times, so the default
+    # CTE inlining re-plans it 3^rounds times — measured 0.06 s at
+    # rounds=3 but 34 s at rounds=7 on a 6-edge graph without it
     for r in range(1, rounds + 1):
         ctes.append(
-            f"d{r} AS (SELECT a, COUNT(*) AS deg FROM g{r - 1} GROUP BY 1)"
+            f"d{r} AS MATERIALIZED "
+            f"(SELECT a, COUNT(*) AS deg FROM g{r - 1} GROUP BY 1)"
         )
         ctes.append(
-            f"""g{r} AS (SELECT g.a, g.b FROM g{r - 1} g
+            f"""g{r} AS MATERIALIZED (SELECT g.a, g.b FROM g{r - 1} g
                  JOIN d{r} da ON g.a = da.a AND da.deg >= {k}
                  JOIN d{r} db ON g.b = db.a AND db.deg >= {k})"""
         )

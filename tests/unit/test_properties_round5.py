@@ -104,3 +104,85 @@ def test_funnel_counts_never_increase(events):
     rows = duck.sql(funnel_oracle_sql(["a", "b", "c"])).fetchall()
     users = [r[2] for r in sorted(rows)]
     assert all(x >= y for x, y in zip(users, users[1:]))
+
+
+def _rand_edges(draw_pairs):
+    return [(f"n{a}", f"n{b}") for a, b in draw_pairs]
+
+
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_kcore_twin_matches_reference_peel(pairs):
+    """kcore SQL twin with rounds=|V| equals an independent pure-Python
+    peel-to-convergence (true k-core) on arbitrary digraphs."""
+    from deduce_spark.spark.webgraph import kcore_oracle_sql
+
+    edges = _rand_edges(pairs)
+    # reference: symmetrize/simplify then peel to fixpoint
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    k = 2
+    changed = True
+    while changed:
+        drop = {v for v, ns in adj.items() if len(ns) < k}
+        changed = bool(drop)
+        for v in drop:
+            adj.pop(v)
+        for v in adj:
+            adj[v] -= drop
+    want = sorted((v, len(ns)) for v, ns in adj.items())
+
+    duck = duckdb.connect()
+    duck.sql("SET threads TO 1")
+    duck.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    rounds = max(len({x for p in edges for x in p}), 1)
+    got = sorted(
+        duck.sql(
+            kcore_oracle_sql("SELECT src, dst FROM e", k=k, rounds=rounds)
+        ).fetchall()
+    )
+    assert got == [(v, int(d)) for v, d in want]
+
+
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=2))
+@settings(max_examples=15, deadline=None)
+def test_lpa_twin_matches_reference_sync_lpa(pairs, rounds):
+    """LPA SQL twin equals an independent pure-Python synchronous
+    min-tie-break propagation for any round count."""
+    from deduce_spark.spark.webgraph import label_propagation_oracle_sql
+
+    edges = _rand_edges(pairs)
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in adj.items():
+            counts = {}
+            for n in ns:
+                counts[labels[n]] = counts.get(labels[n], 0) + 1
+            top = max(counts.values())
+            nxt[v] = min(l for l, c in counts.items() if c == top)
+        labels = nxt
+    want = sorted(labels.items())
+
+    duck = duckdb.connect()
+    duck.sql("SET threads TO 1")
+    duck.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    got = sorted(
+        duck.sql(
+            label_propagation_oracle_sql(
+                "SELECT src, dst FROM e", rounds=rounds
+            )
+        ).fetchall()
+    )
+    assert got == want
