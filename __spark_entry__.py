@@ -1357,14 +1357,52 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["domain_counts_salted"] = domain_counts_salted
 
     def lineitem_percentiles(spark, sf_dir):
-        # exact interpolated percentiles (percentile == quantile_cont)
+        # EXACT-INTEGER interpolated percentiles.  float percentile() +
+        # round() is a half-cent landmine: at sf0.001 the R-flag median
+        # interpolates to exactly x.xx5 and Spark/DuckDB disagree in the
+        # last ulp (52724.24 vs .25).  Instead: prices to integer cents,
+        # rank arithmetic in exact rationals — pos = q_tenths*(n-1)/10,
+        # lower value at rank pos DIV 10, fraction = pos % 10 tenths —
+        # so p_milli = 1000*lo + 100*frac*(hi-lo) is pure int64 and both
+        # engines agree bit-for-bit at every tier.  The per-flag window
+        # has 3 partitions (same parallelism shape as the percentile()
+        # aggregate it replaces; a higher-cardinality group key spreads).
+        from pyspark.sql import Window
+
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        base = li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            ).alias("c"),
+        )
+        w = Window.partitionBy("flag").orderBy("c")
+        ranked = base.withColumn("rn", F.row_number().over(w) - 1)
+        counts = base.groupBy("flag").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        j = ranked.join(F.broadcast(counts), "flag")
+
+        def parts(qt: int) -> tuple[str, str]:
+            return (f"({qt} * (n - 1)) DIV 10", f"({qt} * (n - 1)) % 10")
+
+        lo5, fr5 = parts(5)
+        lo9, fr9 = parts(9)
+        sel = j.filter(
+            F.expr(f"rn IN ({lo5}, {lo5} + 1, {lo9}, {lo9} + 1)")
+        )
+
+        def p_milli(lo: str, fr: str) -> str:
+            lov = f"max(CASE WHEN rn = {lo} THEN c END)"
+            hiv = f"coalesce(max(CASE WHEN rn = {lo} + 1 THEN c END), {lov})"
+            return f"1000 * {lov} + 100 * max({fr}) * ({hiv} - {lov})"
+
         return (
-            li.groupBy("l_returnflag")
+            sel.groupBy(F.col("flag").alias("l_returnflag"))
             .agg(
-                F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-                F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
-                F.count(F.lit(1)).alias("n_lines"),
+                F.expr(p_milli(lo5, fr5)).cast("long").alias("p50_milli"),
+                F.expr(p_milli(lo9, fr9)).cast("long").alias("p90_milli"),
+                F.max("n").cast("long").alias("n_lines"),
             )
             .orderBy("l_returnflag")
         )
@@ -2691,11 +2729,46 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
             GROUP BY domain ORDER BY domain
         """,
         "lineitem_percentiles": """
-            SELECT l_returnflag,
-                   ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-                   ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-                   COUNT(*) AS n_lines
-            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+            WITH base AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                FROM lineitem
+            ),
+            ranked AS (
+                SELECT flag, c,
+                       ROW_NUMBER() OVER (PARTITION BY flag ORDER BY c) - 1
+                           AS rn
+                FROM base
+            ),
+            counts AS (SELECT flag, COUNT(*)::BIGINT AS n
+                       FROM base GROUP BY 1),
+            j AS (SELECT * FROM ranked JOIN counts USING (flag)),
+            sel AS (
+                SELECT * FROM j
+                WHERE rn IN ((5 * (n - 1)) // 10, (5 * (n - 1)) // 10 + 1,
+                             (9 * (n - 1)) // 10, (9 * (n - 1)) // 10 + 1)
+            )
+            SELECT flag AS l_returnflag,
+                   CAST(1000 * max(CASE WHEN rn = (5 * (n - 1)) // 10
+                                   THEN c END)
+                        + 100 * max((5 * (n - 1)) % 10)
+                          * (COALESCE(max(CASE WHEN rn =
+                                 (5 * (n - 1)) // 10 + 1 THEN c END),
+                             max(CASE WHEN rn = (5 * (n - 1)) // 10
+                                 THEN c END))
+                             - max(CASE WHEN rn = (5 * (n - 1)) // 10
+                                   THEN c END)) AS BIGINT) AS p50_milli,
+                   CAST(1000 * max(CASE WHEN rn = (9 * (n - 1)) // 10
+                                   THEN c END)
+                        + 100 * max((9 * (n - 1)) % 10)
+                          * (COALESCE(max(CASE WHEN rn =
+                                 (9 * (n - 1)) // 10 + 1 THEN c END),
+                             max(CASE WHEN rn = (9 * (n - 1)) // 10
+                                 THEN c END))
+                             - max(CASE WHEN rn = (9 * (n - 1)) // 10
+                                   THEN c END)) AS BIGINT) AS p90_milli,
+                   CAST(max(n) AS BIGINT) AS n_lines
+            FROM sel GROUP BY flag ORDER BY flag
         """,
         "events_value_buckets": """
             WITH buckets AS (
