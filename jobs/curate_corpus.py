@@ -74,6 +74,8 @@ def run_job(
     seq_len: int = 2048,
     lm_ref_mod: int = 7,
     bench_mod: int = 101,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> dict:
     from deduce_spark.spark.curation import (
         corpus_filter, decontam_overlap, pack_sequences,
@@ -88,7 +90,17 @@ def run_job(
     out.mkdir(parents=True, exist_ok=True)
     log = LineageLog(out / "_lineage")
     run_id = uuid.uuid4().hex[:12]
-    docs = spark.read.parquet(input_path).select("doc_id", "text")
+    raw = spark.read.parquet(input_path)
+    if id_col == "doc_id":
+        docs = raw.select("doc_id", F.col(text_col).alias("text"))
+    else:
+        # crawl tables key on url — derive a stable numeric doc id (the
+        # slice selectors below need integer arithmetic); pmod keeps the
+        # reference/bench slices non-empty for negative hashes
+        docs = raw.select(
+            F.xxhash64(F.col(id_col)).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
     fp = _input_fingerprint(docs)
     summary: dict = {"run_id": run_id, "input_fp": fp, "stages": {}}
 
@@ -117,14 +129,14 @@ def run_job(
     lm = stage(
         "lm",
         lambda: bigram_lm_score(
-            docs, docs.filter(F.col("doc_id") % lm_ref_mod == 0)
+            docs, docs.filter(F.pmod(F.col("doc_id"), F.lit(lm_ref_mod)) == 0)
         ),
         "lm_scores",
     )
 
     def build_verdicts():
         base = corpus_filter(docs)
-        bench = docs.filter(F.col("doc_id") % bench_mod == 0)
+        bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0)
         contam = decontam_overlap(docs, bench)
         return (
             base.join(contam.select("doc_id", "contam_permille"), "doc_id")
@@ -177,6 +189,8 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
     spark = (
         SparkSession.builder.appName("curate_corpus")
@@ -187,6 +201,7 @@ def main(argv=None) -> int:
         summary = run_job(
             spark, args.input, args.output,
             resume=not args.no_resume, seq_len=args.seq_len,
+            id_col=args.id_col, text_col=args.text_col,
         )
         print(summary)
         return 0
