@@ -90,3 +90,20 @@ class TestCurateCorpus:
             for v in again["stages"].values()
         )
         assert again["input_fp"] != first_run["input_fp"]
+
+
+class TestCrawlTableForm:
+    def test_url_keyed_input(self, spark, tmp_path):
+        # crawl tables key on url: doc ids derive via xxhash64(url) and
+        # the pmod slice selectors keep ref/bench non-empty
+        docs = spark.read.parquet(SF_DOCS).selectExpr(
+            "concat('https://h', CAST(doc_id AS STRING), '.nl/p') AS url",
+            "text",
+        )
+        src = str(tmp_path / "crawl.parquet")
+        docs.write.parquet(src)
+        out = str(tmp_path / "curated")
+        s = run_job(spark, src, out, id_col="url", text_col="text")
+        assert s["stages"]["stats"]["rows"] == docs.count()
+        assert 0 < s["stages"]["dedup"]["rows"] <= docs.count()
+        assert s["stages"]["packs"]["rows"] == s["stages"]["dedup"]["rows"]
