@@ -1367,42 +1367,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engines agree bit-for-bit at every tier.  The per-flag window
         # has 3 partitions (same parallelism shape as the percentile()
         # aggregate it replaces; a higher-cardinality group key spreads).
-        from pyspark.sql import Window
-
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         base = li.select(
-            F.col("l_returnflag").alias("flag"),
+            "l_returnflag",
             F.expr(
                 "CAST(round(l_extendedprice * 100) AS BIGINT)"
             ).alias("c"),
         )
-        w = Window.partitionBy("flag").orderBy("c")
-        ranked = base.withColumn("rn", F.row_number().over(w) - 1)
-        counts = base.groupBy("flag").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        j = ranked.join(F.broadcast(counts), "flag")
-
-        def parts(qt: int) -> tuple[str, str]:
-            return (f"({qt} * (n - 1)) DIV 10", f"({qt} * (n - 1)) % 10")
-
-        lo5, fr5 = parts(5)
-        lo9, fr9 = parts(9)
-        sel = j.filter(
-            F.expr(f"rn IN ({lo5}, {lo5} + 1, {lo9}, {lo9} + 1)")
+        # one aggregate: sorted per-group value array (same memory class
+        # as the engine-native percentile() buffer this replaces — for
+        # unbounded group sizes use the exact_ntile bucketed-rank
+        # discipline instead), then pure-int64 element picks
+        agg = base.groupBy("l_returnflag").agg(
+            F.sort_array(F.collect_list("c")).alias("arr"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
 
-        def p_milli(lo: str, fr: str) -> str:
-            lov = f"max(CASE WHEN rn = {lo} THEN c END)"
-            hiv = f"coalesce(max(CASE WHEN rn = {lo} + 1 THEN c END), {lov})"
-            return f"1000 * {lov} + 100 * max({fr}) * ({hiv} - {lov})"
+        def p_milli(qt: int) -> str:
+            lo = f"({qt} * (n_lines - 1)) DIV 10"
+            # parens around the mod are load-bearing: * and % share
+            # precedence left-to-right, so without them the % applies
+            # to 100*(...) and the fraction term collapses to 0
+            fr = f"(({qt} * (n_lines - 1)) % 10)"
+            lov = f"element_at(arr, CAST({lo} + 1 AS INT))"
+            hiv = (
+                f"element_at(arr, CAST(least({lo} + 2, n_lines) AS INT))"
+            )
+            return f"1000 * {lov} + 100 * {fr} * ({hiv} - {lov})"
 
         return (
-            sel.groupBy(F.col("flag").alias("l_returnflag"))
-            .agg(
-                F.expr(p_milli(lo5, fr5)).cast("long").alias("p50_milli"),
-                F.expr(p_milli(lo9, fr9)).cast("long").alias("p90_milli"),
-                F.max("n").cast("long").alias("n_lines"),
+            agg.select(
+                "l_returnflag",
+                F.expr(p_milli(5)).cast("long").alias("p50_milli"),
+                F.expr(p_milli(9)).cast("long").alias("p90_milli"),
+                "n_lines",
             )
             .orderBy("l_returnflag")
         )
@@ -2729,46 +2727,29 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
             GROUP BY domain ORDER BY domain
         """,
         "lineitem_percentiles": """
-            WITH base AS (
-                SELECT l_returnflag AS flag,
-                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-                FROM lineitem
-            ),
-            ranked AS (
-                SELECT flag, c,
-                       ROW_NUMBER() OVER (PARTITION BY flag ORDER BY c) - 1
-                           AS rn
-                FROM base
-            ),
-            counts AS (SELECT flag, COUNT(*)::BIGINT AS n
-                       FROM base GROUP BY 1),
-            j AS (SELECT * FROM ranked JOIN counts USING (flag)),
-            sel AS (
-                SELECT * FROM j
-                WHERE rn IN ((5 * (n - 1)) // 10, (5 * (n - 1)) // 10 + 1,
-                             (9 * (n - 1)) // 10, (9 * (n - 1)) // 10 + 1)
+            WITH agg AS (
+                SELECT l_returnflag,
+                       list_sort(list(
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                       )) AS arr,
+                       COUNT(*)::BIGINT AS n_lines
+                FROM lineitem GROUP BY 1
             )
-            SELECT flag AS l_returnflag,
-                   CAST(1000 * max(CASE WHEN rn = (5 * (n - 1)) // 10
-                                   THEN c END)
-                        + 100 * max((5 * (n - 1)) % 10)
-                          * (COALESCE(max(CASE WHEN rn =
-                                 (5 * (n - 1)) // 10 + 1 THEN c END),
-                             max(CASE WHEN rn = (5 * (n - 1)) // 10
-                                 THEN c END))
-                             - max(CASE WHEN rn = (5 * (n - 1)) // 10
-                                   THEN c END)) AS BIGINT) AS p50_milli,
-                   CAST(1000 * max(CASE WHEN rn = (9 * (n - 1)) // 10
-                                   THEN c END)
-                        + 100 * max((9 * (n - 1)) % 10)
-                          * (COALESCE(max(CASE WHEN rn =
-                                 (9 * (n - 1)) // 10 + 1 THEN c END),
-                             max(CASE WHEN rn = (9 * (n - 1)) // 10
-                                 THEN c END))
-                             - max(CASE WHEN rn = (9 * (n - 1)) // 10
-                                   THEN c END)) AS BIGINT) AS p90_milli,
-                   CAST(max(n) AS BIGINT) AS n_lines
-            FROM sel GROUP BY flag ORDER BY flag
+            SELECT l_returnflag,
+                   CAST(1000 * arr[(5 * (n_lines - 1)) // 10 + 1]
+                        + 100 * ((5 * (n_lines - 1)) % 10)
+                          * (arr[LEAST((5 * (n_lines - 1)) // 10 + 2,
+                                       n_lines)]
+                             - arr[(5 * (n_lines - 1)) // 10 + 1])
+                        AS BIGINT) AS p50_milli,
+                   CAST(1000 * arr[(9 * (n_lines - 1)) // 10 + 1]
+                        + 100 * ((9 * (n_lines - 1)) % 10)
+                          * (arr[LEAST((9 * (n_lines - 1)) // 10 + 2,
+                                       n_lines)]
+                             - arr[(9 * (n_lines - 1)) // 10 + 1])
+                        AS BIGINT) AS p90_milli,
+                   n_lines
+            FROM agg ORDER BY l_returnflag
         """,
         "events_value_buckets": """
             WITH buckets AS (
