@@ -455,6 +455,7 @@ _DEMOTED_ORDER = [
     "hits_link_hosts", "lm_quality_score", "cms_word_counts",
     "kcore_link_hosts", "hll_words_by_lang", "doclen_log2_hist",
     "lpa_link_hosts", "events_funnel", "events_cohort_retention",
+    "bfs_link_hosts",
 ]
 
 
@@ -922,6 +923,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(host_edges, rounds=2)
 
     q["lpa_link_hosts"] = lpa_link_hosts
+
+    def bfs_link_hosts(spark, sf_dir):
+        # minimum link distance from crawl seeds within a fixed hop
+        # budget — the frontier-depth signal (seed-proximity ranking,
+        # focused-crawl cutoffs); same fixed-round unroll as kcore/lpa
+        from deduce_spark.spark.webgraph import bfs_layers
+        from deduce_spark.spark.weburl import extract_links, url_host
+
+        edges = extract_links(
+            _link_pages(spark, sf_dir), "html", "url", canonical=True
+        )
+        host_edges = edges.select(
+            url_host(F.col("src_url")).alias("src"),
+            url_host(F.col("dst_url")).alias("dst"),
+        )
+        return bfs_layers(host_edges, ["src0.nl", "src1.nl"], rounds=2)
+
+    q["bfs_link_hosts"] = bfs_link_hosts
 
     def events_funnel(spark, sf_dir):
         # time-ordered funnel (view -> click -> purchase), earliest-
@@ -2083,6 +2102,14 @@ def _lpa_oracle() -> str:
     return label_propagation_oracle_sql(_host_edges_sql(), rounds=2)
 
 
+def _bfs_oracle() -> str:
+    from deduce_spark.spark.webgraph import bfs_oracle_sql
+
+    return bfs_oracle_sql(
+        _host_edges_sql(), ["src0.nl", "src1.nl"], rounds=2
+    )
+
+
 def _funnel_oracle() -> str:
     from deduce_spark.spark.relational import funnel_oracle_sql
 
@@ -2956,6 +2983,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "lpa_link_hosts": _lpa_oracle(),
         "events_funnel": _funnel_oracle(),
         "events_cohort_retention": _cohort_oracle(),
+        "bfs_link_hosts": _bfs_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure

@@ -333,3 +333,93 @@ def label_propagation_oracle_sql(edges_sql: str, rounds: int = 2) -> str:
         "WITH " + ",\n".join(ctes)
         + f" SELECT node, label FROM l{rounds} ORDER BY node"
     )
+
+
+# -- BFS layers from a seed set --------------------------------------------
+# Minimum hop distance from any seed within a fixed hop budget — the
+# crawl-frontier depth signal (seed-proximity ranking, OPIC-style depth
+# decay, focused-crawl cutoffs).  Same fixed-round unroll discipline as
+# HITS/k-core/LPA: per round one edge join + one map-combinable MIN
+# aggregate, per-round lineage cut, DuckDB twin replays CTE-by-CTE
+# (AS MATERIALIZED — see kcore_oracle_sql for the inlining blowup).
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: list[str],
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, dist) — minimum hops from any seed, for every node within
+    ``rounds`` hops on the symmetrized simple graph, ordered by node.
+    Seeds report dist 0 whether or not they appear in the edge list;
+    unreached nodes are absent (standard frontier semantics)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("seeds must be distinct")
+    spark = edges.sparkSession
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    g = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    d = spark.createDataFrame(
+        [(s, 0) for s in seeds], "node string, dist long"
+    )
+    for _ in range(rounds):
+        step = g.join(
+            F.broadcast(d.withColumnRenamed("node", "a")), "a"
+        ).select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        d = (
+            d.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return d.orderBy("node")
+
+
+def bfs_oracle_sql(
+    edges_sql: str, seeds: list[str], rounds: int = 3
+) -> str:
+    """DuckDB twin of :func:`bfs_layers`: ``edges_sql`` must yield
+    (src, dst); returns (node, dist) ordered by node."""
+    if rounds < 1 or not seeds or len(set(seeds)) != len(seeds):
+        raise ValueError(f"bad bfs shape ({rounds=}, {seeds=})")
+    seed_rows = " UNION ALL ".join(
+        f"SELECT '{s.replace(chr(39), chr(39) * 2)}' AS node, "
+        "0::BIGINT AS dist"
+        for s in seeds
+    )
+    ctes = [
+        f"""fwd AS (SELECT src AS a, dst AS b FROM ({edges_sql})
+             WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)""",
+        "g AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM fwd UNION ALL SELECT b, a FROM fwd))",
+        f"d0 AS ({seed_rows})",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+                 SELECT node, MIN(dist) AS dist FROM (
+                     SELECT node, dist FROM d{r - 1}
+                     UNION ALL
+                     SELECT g.b AS node, d.dist + 1 AS dist
+                     FROM g JOIN d{r - 1} d ON g.a = d.node
+                 ) GROUP BY 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+        " ORDER BY node"
+    )

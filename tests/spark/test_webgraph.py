@@ -207,3 +207,66 @@ class TestLabelPropagation:
             ).fetchall()
         ]
         assert got == want and len(got) > 0
+
+
+class TestBFSLayers:
+    def _run(self, spark, pairs, seeds, rounds):
+        from deduce_spark.spark.webgraph import bfs_layers
+
+        return {
+            r["node"]: r["dist"]
+            for r in bfs_layers(
+                _edges(spark, pairs), seeds, rounds=rounds
+            ).collect()
+        }
+
+    def test_layers_and_frontier_bound(self, spark):
+        # path a-b-c-d plus a detached edge x-y
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+        got = self._run(spark, pairs, ["a"], rounds=2)
+        assert got == {"a": 0, "b": 1, "c": 2}  # d beyond budget, x/y unreached
+
+    def test_min_distance_over_multiple_seeds(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._run(spark, pairs, ["a", "d"], rounds=2)
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 0}
+
+    def test_seed_not_in_graph_kept_at_zero(self, spark):
+        got = self._run(spark, [("a", "b")], ["zz"], rounds=1)
+        assert got == {"zz": 0}
+
+    def test_validation(self, spark):
+        from deduce_spark.spark.webgraph import bfs_layers, bfs_oracle_sql
+
+        df = _edges(spark, [("a", "b")])
+        with pytest.raises(ValueError):
+            bfs_layers(df, [], rounds=1)
+        with pytest.raises(ValueError):
+            bfs_layers(df, ["s", "s"], rounds=1)
+        with pytest.raises(ValueError):
+            bfs_oracle_sql("SELECT 1", ["s"], rounds=0)
+
+    def test_twin_parity(self, spark):
+        from deduce_spark.spark.webgraph import bfs_layers, bfs_oracle_sql
+
+        pairs = [
+            (f"h{(i * 3) % 15}", f"h{(i * i + 2) % 15}") for i in range(40)
+        ] + [("h0", "isle1"), ("isle1", "isle2")]
+        seeds = ["h0", "h7"]
+        got = [
+            tuple(r)
+            for r in bfs_layers(
+                _edges(spark, pairs), seeds, rounds=3
+            ).collect()
+        ]
+        import pandas as pd
+
+        duck = duckdb.connect()
+        duck.register("e", pd.DataFrame(pairs, columns=["src", "dst"]))
+        want = [
+            tuple(r)
+            for r in duck.sql(
+                bfs_oracle_sql("SELECT src, dst FROM e", seeds, rounds=3)
+            ).fetchall()
+        ]
+        assert got == want and len(got) > 3
