@@ -403,6 +403,7 @@ def run_scaling_gated(
     low: int = 8,
     high: int = 32,
     deadline_sec: float = 5400,
+    multi_executor: bool = False,
 ) -> dict:
     """Probe-gated variant of ``run_scaling`` for contended windows.
 
@@ -413,7 +414,20 @@ def run_scaling_gated(
     is captured first (it is the scarce resource: bandwidth theft hits
     32 concurrent Arrow pipes hardest), then the low side fills in from
     the same host band.  Stops at efficiency >= 0.8 with >= 2 trials per
-    size, or at the deadline with whatever was captured."""
+    size, or at the deadline with whatever was captured.
+
+    ``multi_executor=True`` gates the separate-JVM local-cluster
+    topology (N vs 4N executors x 4 cores) the same way — the ungated
+    ``run_scaling`` form proved band-fragile at 32 cores twice (rounds
+    3 and 5); the high-core capture target scales to 85% of the
+    thread-mode target (JVM-boundary overhead)."""
+    if multi_executor:
+        subprocess.run(
+            [sys.executable, str(REPO / "jobs" / "package_pyfiles.py")],
+            check=True, capture_output=True,
+        )
+    n_exec = {low: max(1, low // 4), high: max(1, high // 4)}
+    high_target = GATE_HIGH_TARGET * (0.85 if multi_executor else 1.0)
     trials: dict[int, list[dict]] = {low: [], high: []}
     t_end = time.time() + deadline_sec
     while time.time() < t_end:
@@ -421,7 +435,7 @@ def run_scaling_gated(
         best_high = max((t["pages_per_sec"] for t in trials[high]), default=0)
         want = high
         if trials[high] and (
-            best_high >= GATE_HIGH_TARGET or len(trials[high]) >= 3
+            best_high >= high_target or len(trials[high]) >= 3
         ) and len(trials[low]) < max(2, len(trials[high])):
             want = low
         idle = pr["burn_median"] <= GATE_BURN_MAX
@@ -431,7 +445,9 @@ def run_scaling_gated(
             time.sleep(40)
             continue
         try:
-            r = _one_scaling_trial(want)
+            r = _one_scaling_trial(
+                want, executors=n_exec[want] if multi_executor else 0
+            )
         except subprocess.CalledProcessError as exc:
             print(f"# trial failed: {exc}", file=sys.stderr, flush=True)
             time.sleep(60)
@@ -454,7 +470,13 @@ def run_scaling_gated(
         "metric": "scaling_efficiency",
         "value": round((tp_hi / tp_lo) / (high / low), 3) if tp_lo else None,
         "unit": "ratio",
-        "mode": "local[N] thread executors, probe-gated idle windows",
+        "mode": (
+            f"local-cluster separate-JVM executors "
+            f"({n_exec[low]} vs {n_exec[high]} x 4 cores), "
+            "probe-gated idle windows"
+            if multi_executor
+            else "local[N] thread executors, probe-gated idle windows"
+        ),
         "low_cores": low,
         "high_cores": high,
         "pages_per_sec": {str(low): tp_lo, str(high): tp_hi},
@@ -535,7 +557,8 @@ if __name__ == "__main__":
         print(json.dumps(run_kernel()))
     elif "--scaling" in sys.argv:
         if "--gated" in sys.argv:
-            print(json.dumps(run_scaling_gated()))
+            print(json.dumps(run_scaling_gated(
+                multi_executor="--multi-executor" in sys.argv)))
         else:
             print(json.dumps(run_scaling(
                 multi_executor="--multi-executor" in sys.argv)))
