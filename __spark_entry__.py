@@ -455,7 +455,7 @@ _DEMOTED_ORDER = [
     "hits_link_hosts", "lm_quality_score", "cms_word_counts",
     "kcore_link_hosts", "hll_words_by_lang", "doclen_log2_hist",
     "lpa_link_hosts", "events_funnel", "events_cohort_retention",
-    "bfs_link_hosts",
+    "bfs_link_hosts", "bpe_token_counts_docs",
 ]
 
 
@@ -941,6 +941,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bfs_layers(host_edges, ["src0.nl", "src1.nl"], rounds=2)
 
     q["bfs_link_hosts"] = bfs_link_hosts
+
+    def bpe_token_counts_docs(spark, sf_dir):
+        # apply a FIXED learned BPE merge table (tokenizer-application
+        # form: the merge list is a constant, so both engines replay the
+        # identical greedy fold chain; training itself is the
+        # argmax-iterative bpe_train, reference-parity pytest-pinned)
+        from deduce_spark.spark.bpe import bpe_token_counts
+
+        return bpe_token_counts(
+            _docs(spark, sf_dir), _BPE_MERGES, k=40
+        )
+
+    q["bpe_token_counts_docs"] = bpe_token_counts_docs
 
     def events_funnel(spark, sf_dir):
         # time-ordered funnel (view -> click -> purchase), earliest-
@@ -2102,6 +2115,21 @@ def _lpa_oracle() -> str:
     return label_propagation_oracle_sql(_host_edges_sql(), rounds=2)
 
 
+# fixed BPE merge table for bpe_token_counts_docs — trained once with
+# bpe_train at sf0.01 and frozen (a tokenizer being APPLIED is a
+# constant; the constants just have to be identical on both sides)
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"),
+]
+
+
+def _bpe_oracle() -> str:
+    from deduce_spark.spark.bpe import bpe_token_counts_oracle_sql
+
+    return bpe_token_counts_oracle_sql(_BPE_MERGES, k=40)
+
+
 def _bfs_oracle() -> str:
     from deduce_spark.spark.webgraph import bfs_oracle_sql
 
@@ -2984,6 +3012,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "events_funnel": _funnel_oracle(),
         "events_cohort_retention": _cohort_oracle(),
         "bfs_link_hosts": _bfs_oracle(),
+        "bpe_token_counts_docs": _bpe_oracle(),
         # -- golden-fixture oracles (non-SQL-expressible pipelines) --------
         # Expected outputs are recomputed SEQUENTIALLY (no Spark) by
         # deduce_spark/golden.py from the same per-row kernels — pure
