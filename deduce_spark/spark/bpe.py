@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deduce_spark.spark.checkpointing import CheckpointArg, make_checkpointer
+
 
 def _esc(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
@@ -81,19 +83,20 @@ def bpe_train(
     num_merges: int = 8,
     text_col: str = "text",
     min_count: int = 2,
+    checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus; returns
     (rank, left, right, pair_count) in learned order.  Stops early when
     no pair reaches ``min_count``."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    cut = make_checkpointer(checkpoint)
     spark = docs.sparkSession
-    vocab = (
+    vocab = cut(
         _word_freq(docs, text_col)
         .select(
             F.expr(_CHARS.format(col="word")).alias("sym"), "n"
         )
-        .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
@@ -120,9 +123,9 @@ def bpe_train(
         if not best or best[0]["cnt"] < min_count:
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        vocab = vocab.select(
+        vocab = cut(vocab.select(
             F.expr(_merge_expr("sym", l, r)).alias("sym"), "n"
-        ).localCheckpoint(eager=True)
+        ))
         merges.append((rank, l, r, cnt))
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"

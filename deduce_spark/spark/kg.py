@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from deduce_spark.spark.checkpointing import CheckpointArg, make_checkpointer
+
 N_HASHES = 64
 N_BANDS = 16  # used by doc-level dedup: 16 bands x 4 rows, jaccard >~ 0.5
 # surface canonicalization wants near-identical strings only (typos, case,
@@ -218,7 +220,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 12, local_threshold: int = 2_000_000
+    edges: DataFrame,
+    max_iter: int = 12,
+    local_threshold: int = 2_000_000,
+    checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """(a, b) undirected edges -> (surface_id, component).
 
@@ -234,6 +239,7 @@ def connected_components(
     deterministic and agree (tests/spark/test_kg.py pins bit-identical
     labels).
     """
+    cut = make_checkpointer(checkpoint)
     spark = edges.sparkSession
     edges = edges.cache()  # consumed by count + either CC path
     n_edges = edges.count()
@@ -275,11 +281,10 @@ def connected_components(
         return spark.createDataFrame(out)
     # every node must appear in the output, including those that converge
     # to roots (roots stop appearing on the `a` side of star edges)
-    all_nodes = (
+    all_nodes = cut(
         edges.select(F.col("a").alias("surface_id"))
         .union(edges.select(F.col("b").alias("surface_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _signature(e: DataFrame) -> tuple[int, int]:
@@ -291,7 +296,7 @@ def connected_components(
         ).collect()[0]
         return int(row["n"]), int(row["x"])
 
-    cur = edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    cur = cut(edges.filter(F.col("a") != F.col("b")).distinct())
     # all_nodes and cur are both eagerly checkpointed; nothing reads the
     # input cache again — release it here instead of leaking it per call
     edges.unpersist()
@@ -299,7 +304,7 @@ def connected_components(
     converged = False
     rounds = 0
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = cut(_small_star(_large_star(cur)))
         nsig = _signature(nxt)
         cur = nxt
         rounds += 1
@@ -596,7 +601,10 @@ def score_form(ntype: str, form: str, dicts: dict) -> tuple[float, str]:
 
 
 def pagerank_quantized(
-    edges: DataFrame, n_iter: int = 5, unit: int = 1_000_000_000
+    edges: DataFrame,
+    n_iter: int = 5,
+    unit: int = 1_000_000_000,
+    checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """PageRank over undirected (a, b) long edges in EXACT integer space.
 
@@ -616,7 +624,16 @@ def pagerank_quantized(
     # long pipeline (triples fanout), and sym/deg are consumed every
     # iteration — without this the whole upstream chain re-executes 2x per
     # round
-    edges = edges.localCheckpoint(eager=True)
+    cut = make_checkpointer(checkpoint)
+    # in-loop rank cuts stay LAZY on the default path (materialized in one
+    # pass by the final eager cut); a reliable-checkpoint strategy is
+    # always eager
+    lazy_cut = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint is None
+        else cut
+    )
+    edges = cut(edges)
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -642,13 +659,13 @@ def pagerank_quantized(
                     + F.expr("(85 * coalesce(s, 0L)) DIV 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = lazy_cut(ranks)
     # materialize the final ranks BEFORE dropping the caches: nothing in
     # the loop is eager (lazy checkpoints), so unpersisting first would
     # unmark adj/deg before any action populates them and every iteration
     # would recompute the symmetrization+degree chain
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = cut(ranks)
     adj.unpersist()
     deg.unpersist()
     return ranks.select(F.col("src").alias("entity_id"), "rank")

@@ -16,17 +16,44 @@ PageRank — this variant is exact-integer:
   and value-hashes match bit-for-bit.
 
 Scale shape: the edge list is the only big table; per iteration the
-score table (<= |nodes| rows, already aggregated) broadcasts into one
+score table (<= |nodes| rows, already aggregated) joins into one
 edge join + one groupBy — the standard iterative-join pattern, 2
 bounded shuffles per iteration, no driver-side loops over data.  The
 max used for re-quantization is a 1-row aggregate (broadcast
-crossJoin), never a collect.
+crossJoin), never a collect.  Every operator takes
+``broadcast_tables`` (default True: hint the <=|V|-row side tables
+broadcast; False: let Catalyst/AQE pick a shuffled join — required at
+|V| ~ 10^8-10^9 where a forced broadcast OOMs) and ``checkpoint``
+(injectable per-round lineage-cut strategy, see
+:mod:`deduce_spark.spark.checkpointing`).
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from deduce_spark.spark.checkpointing import CheckpointArg, make_checkpointer
+
+
+def _side_hint(
+    broadcast_tables: bool,
+) -> Callable[[DataFrame], DataFrame]:
+    """Join hint for the per-round <=|V|-row score/survivor tables.
+
+    ``True`` (default) forces ``F.broadcast`` — the right call up to
+    |V| ~ 10^7 hosts, where the table is tens of MB and a shuffle of
+    the full edge list per round would dominate.  ``False`` removes
+    the hint so Catalyst/AQE choose (shuffled hash / sort-merge at
+    runtime sizes): mandatory at web scale, |V| ~ 10^8-10^9, where a
+    forced broadcast of a |V|-row table OOMs executors and AQE cannot
+    override an explicit hint.  Same discipline as
+    ``lmscore.score_documents(broadcast_model=False)``."""
+    if broadcast_tables:
+        return lambda df: F.broadcast(df)
+    return lambda df: df
 
 
 def hits_scores(
@@ -35,26 +62,36 @@ def hits_scores(
     dst_col: str = "dst",
     iters: int = 2,
     scale: int = 1000,
+    broadcast_tables: bool = True,
+    checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """(node, auth, hub) integer HITS scores after ``iters`` rounds.
 
     Edges are deduplicated first (HITS is defined on the simple graph).
     Nodes with no in-edges get auth=0, no out-edges hub=0.
 
-    The deduplicated edge list is materialized once with an eager
-    localCheckpoint (kcore_peel / pagerank_quantized discipline): every
-    half-step joins against it, so without the cut an expensive upstream
-    chain (e.g. extract_links) re-executes 2*iters+2 times.  On a real
-    cluster swap localCheckpoint for a reliable checkpoint dir."""
+    ``broadcast_tables`` controls the join hint on the per-half-step
+    score table (see :func:`_side_hint`): keep the default up to
+    ~10^7 nodes, pass ``False`` at web scale so the score joins shuffle
+    instead of force-broadcasting a 10^8+-row table.
+
+    The deduplicated edge list is materialized once per the
+    kcore_peel / pagerank_quantized lineage discipline: every half-step
+    joins against it, so without the cut an expensive upstream chain
+    (e.g. extract_links) re-executes 2*iters+2 times.  ``checkpoint``
+    picks the cut strategy (default eager localCheckpoint; pass a
+    directory or callable on a real cluster —
+    :func:`deduce_spark.spark.checkpointing.make_checkpointer`)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = (
+    cut = make_checkpointer(checkpoint)
+    hint = _side_hint(broadcast_tables)
+    e = cut(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -66,7 +103,7 @@ def hits_scores(
     def half_step(scores: DataFrame, join_on: str, group_on: str) -> DataFrame:
         raw = (
             e.join(
-                F.broadcast(scores),
+                hint(scores),
                 e[join_on] == scores["node"],
             )
             .groupBy(e[group_on].alias("node"))
@@ -76,13 +113,13 @@ def hits_scores(
         # eager cut per half-step: raw appears twice above (score + max)
         # and each round chains on the previous, so without it the plan
         # doubles per half-step (f(n) = 2*(1+f(n-1)) — 92 scans at
-        # iters=2 in the pre-fix plan inventory vs 4 after)
-        return (
+        # iters=2 in the pre-fix plan inventory vs 4 after).  The 1-row
+        # max table stays broadcast regardless of the flag.
+        return cut(
             raw.crossJoin(F.broadcast(mx))
             .select(
                 "node", F.expr(f"(raw * {scale}) DIV mx").alias("score")
             )
-            .localCheckpoint(eager=True)
         )
 
     auth = None
@@ -175,6 +212,8 @@ def kcore_peel(
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_tables: bool = True,
+    checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """(node, deg) of the graph left after ``rounds`` peels of
     degree-< ``k`` nodes, degrees measured on that final subgraph.
@@ -183,14 +222,22 @@ def kcore_peel(
     defined on the undirected simple graph; self-loops dropped).  Empty
     result = the k-core is empty (or everything peeled so far).
 
-    Lineage is cut with an eager localCheckpoint per round (the
-    pagerank_quantized discipline, kg.py:619): each round references the
-    previous graph three times (degree agg + both endpoint semi-joins),
-    so without the cut the upstream subtree — often an expensive
-    extract_links chain — would re-execute 3^rounds times.  On a real
-    cluster swap localCheckpoint for a reliable checkpoint dir."""
+    ``broadcast_tables`` controls the join hint on the per-round
+    survivor set (see :func:`_side_hint`); pass ``False`` at web scale
+    so the two endpoint semi-joins shuffle instead of force-
+    broadcasting a |V|-row table.
+
+    Lineage is cut per round (the pagerank_quantized discipline,
+    kg.py): each round references the previous graph three times
+    (degree agg + both endpoint semi-joins), so without the cut the
+    upstream subtree — often an expensive extract_links chain — would
+    re-execute 3^rounds times.  ``checkpoint`` picks the cut strategy
+    (default eager localCheckpoint; directory or callable for a real
+    cluster)."""
     if k < 1 or rounds < 1:
         raise ValueError(f"bad kcore shape ({k=}, {rounds=})")
+    cut = make_checkpointer(checkpoint)
+    hint = _side_hint(broadcast_tables)
     fwd = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).filter(
@@ -200,13 +247,13 @@ def kcore_peel(
     g = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .distinct()
     for _ in range(rounds):
-        g = g.localCheckpoint(eager=True)
+        g = cut(g)
         deg = g.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
         g = (
-            g.join(F.broadcast(keep), "a")
+            g.join(hint(keep), "a")
             .join(
-                F.broadcast(keep.select(F.col("a").alias("b"))), "b"
+                hint(keep.select(F.col("a").alias("b"))), "b"
             )
             .select("a", "b")
         )
@@ -267,29 +314,36 @@ def label_propagation(
     rounds: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_tables: bool = True,
+    checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """(node, label) after ``rounds`` synchronous LPA steps on the
     symmetrized simple graph; every node starts as its own label.
-    Isolated nodes (self-loops only) keep their own label."""
+    Isolated nodes (self-loops only) keep their own label.
+
+    ``broadcast_tables`` controls the join hint on the per-round label
+    table (see :func:`_side_hint`); ``checkpoint`` picks the per-round
+    lineage-cut strategy (default eager localCheckpoint)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    cut = make_checkpointer(checkpoint)
+    hint = _side_hint(broadcast_tables)
     fwd = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
         & (F.col("a") != F.col("b"))
     )
-    g = (
+    g = cut(
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = g.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(rounds):
         votes = (
             g.join(
-                F.broadcast(labels.withColumnRenamed("node", "b")), "b"
+                hint(labels.withColumnRenamed("node", "b")), "b"
             )
             .groupBy(F.col("a").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -297,11 +351,10 @@ def label_propagation(
         win = Window.partitionBy("node").orderBy(
             F.desc("cnt"), F.asc("label")
         )
-        labels = (
+        labels = cut(
             votes.withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
         )
     return labels.orderBy("node")
 
@@ -350,17 +403,25 @@ def bfs_layers(
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_tables: bool = True,
+    checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """(node, dist) — minimum hops from any seed, for every node within
     ``rounds`` hops on the symmetrized simple graph, ordered by node.
     Seeds report dist 0 whether or not they appear in the edge list;
-    unreached nodes are absent (standard frontier semantics)."""
+    unreached nodes are absent (standard frontier semantics).
+
+    ``broadcast_tables`` controls the join hint on the per-round
+    distance table (see :func:`_side_hint`); ``checkpoint`` picks the
+    per-round lineage-cut strategy (default eager localCheckpoint)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if not seeds:
         raise ValueError("seeds must be non-empty")
     if len(set(seeds)) != len(seeds):
         raise ValueError("seeds must be distinct")
+    cut = make_checkpointer(checkpoint)
+    hint = _side_hint(broadcast_tables)
     spark = edges.sparkSession
     fwd = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
@@ -368,23 +429,21 @@ def bfs_layers(
         F.col("a").isNotNull() & F.col("b").isNotNull()
         & (F.col("a") != F.col("b"))
     )
-    g = (
+    g = cut(
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     d = spark.createDataFrame(
         [(s, 0) for s in seeds], "node string, dist long"
     )
     for _ in range(rounds):
         step = g.join(
-            F.broadcast(d.withColumnRenamed("node", "a")), "a"
+            hint(d.withColumnRenamed("node", "a")), "a"
         ).select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
-        d = (
+        d = cut(
             d.unionAll(step)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
     return d.orderBy("node")
 

@@ -122,3 +122,15 @@ class TestBPETrain:
         a = bpe_token_counts(docs, merges, k=20).collect()
         b = bpe_token_counts(docs.repartition(9), merges, k=20).collect()
         assert a == b
+
+
+def test_bpe_train_directory_checkpoint(spark, tmp_path):
+    from deduce_spark.spark.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [("low low lower newest newest widest",)], ["text"]
+    )
+    ck = str(tmp_path / "bpeck")
+    a = [tuple(r) for r in bpe_train(docs, num_merges=4).collect()]
+    b = [tuple(r) for r in bpe_train(docs, num_merges=4, checkpoint=ck).collect()]
+    assert a == b and len(a) >= 1

@@ -433,3 +433,28 @@ class TestCompaction:
         )
         out = remap_triples(triples, id_map).collect()
         assert len(out) == 2
+
+
+def test_cc_and_pagerank_directory_checkpoint(spark, tmp_path):
+    # round-6 injectable lineage-cut: a reliable checkpoint directory
+    # must reproduce the default (localCheckpoint) results bit-for-bit
+    # on both iterative kg operators.
+    from deduce_spark.spark.kg import connected_components, pagerank_quantized
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11), (11, 12)],
+        "a long, b long",
+    )
+    ck = str(tmp_path / "kgck")
+    cc_def = sorted(map(tuple, connected_components(
+        edges, local_threshold=0
+    ).collect()))
+    cc_dir = sorted(map(tuple, connected_components(
+        edges, local_threshold=0, checkpoint=ck
+    ).collect()))
+    assert cc_def == cc_dir and len(cc_def) == 7
+    pr_def = sorted(map(tuple, pagerank_quantized(edges).collect()))
+    pr_dir = sorted(map(tuple, pagerank_quantized(
+        edges, checkpoint=ck
+    ).collect()))
+    assert pr_def == pr_dir and len(pr_def) == 7

@@ -270,3 +270,132 @@ class TestBFSLayers:
             ).fetchall()
         ]
         assert got == want and len(got) > 3
+
+
+class TestBroadcastFallbackAndCheckpoint:
+    """Round-6 scale controls: broadcast_tables=False must flip the
+    <=|V|-row side-table joins to shuffled joins (a forced broadcast of
+    a 10^8+-row table OOMs at web scale and AQE cannot override an
+    explicit hint) without changing a single output row, and the
+    lineage-cut strategy must be injectable (checkpointing module)."""
+
+    PAIRS = [
+        (f"h{(i * 7) % 20}", f"h{(i * i + 3) % 20}") for i in range(60)
+    ] + [(f"c{i}", f"c{j}") for i in range(5) for j in range(5) if i < j]
+
+    def _both_modes(self, spark, fn, **kw):
+        on = sorted(map(tuple, fn(
+            _edges(spark, self.PAIRS), broadcast_tables=True, **kw
+        ).collect()))
+        off = sorted(map(tuple, fn(
+            _edges(spark, self.PAIRS), broadcast_tables=False, **kw
+        ).collect()))
+        assert len(on) > 0
+        assert on == off
+
+    def test_hits_parity_both_modes(self, spark):
+        self._both_modes(spark, hits_scores, iters=2)
+
+    def test_kcore_parity_both_modes(self, spark):
+        from deduce_spark.spark.webgraph import kcore_peel
+
+        self._both_modes(spark, kcore_peel, k=3, rounds=3)
+
+    def test_lpa_parity_both_modes(self, spark):
+        from deduce_spark.spark.webgraph import label_propagation
+
+        self._both_modes(spark, label_propagation, rounds=2)
+
+    def test_bfs_parity_both_modes(self, spark):
+        from deduce_spark.spark.webgraph import bfs_layers
+
+        self._both_modes(spark, bfs_layers, seeds=["h0"], rounds=2)
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_flag_off_plans_have_no_forced_broadcast(self, spark):
+        # identity checkpoint keeps the whole iteration inside one plan
+        # (eager cuts would hide per-round joins behind RDD scans), and
+        # autoBroadcastJoinThreshold=-1 rules out Catalyst choosing a
+        # broadcast on its own — any BroadcastExchange left is a hint.
+        from deduce_spark.spark.webgraph import (
+            bfs_layers, kcore_peel, label_propagation,
+        )
+
+        ident = lambda df: df
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "-1")
+        try:
+            e = _edges(spark, self.PAIRS)
+            for fn, kw in [
+                (kcore_peel, dict(k=2, rounds=1)),
+                (label_propagation, dict(rounds=1)),
+                (bfs_layers, dict(seeds=["h0"], rounds=1)),
+            ]:
+                p_off = self._plan(fn(
+                    e, broadcast_tables=False, checkpoint=ident, **kw
+                ))
+                p_on = self._plan(fn(
+                    e, broadcast_tables=True, checkpoint=ident, **kw
+                ))
+                assert "BroadcastExchange" not in p_off, fn.__name__
+                assert "BroadcastExchange" in p_on, fn.__name__
+            # hits keeps the 1-row max-aggregate crossJoin broadcast in
+            # BOTH modes (it is a scalar, never |V|-sized); only the
+            # score-table joins must lose the hint.
+            p_off = self._plan(hits_scores(
+                e, iters=1, broadcast_tables=False, checkpoint=ident
+            ))
+            p_on = self._plan(hits_scores(
+                e, iters=1, broadcast_tables=True, checkpoint=ident
+            ))
+            assert (
+                p_off.count("BroadcastExchange")
+                < p_on.count("BroadcastExchange")
+            )
+            assert (
+                "SortMergeJoin" in p_off or "ShuffledHashJoin" in p_off
+            )
+        finally:
+            spark.conf.set(key, old)
+
+    def test_directory_checkpoint_run(self, spark, tmp_path):
+        # reliable-checkpoint strategy: same rows, and the directory
+        # actually receives checkpoint data.
+        from deduce_spark.spark.webgraph import kcore_peel
+
+        ckdir = str(tmp_path / "ck")
+        got = sorted(map(tuple, kcore_peel(
+            _edges(spark, self.PAIRS), k=3, rounds=3, checkpoint=ckdir
+        ).collect()))
+        want = sorted(map(tuple, kcore_peel(
+            _edges(spark, self.PAIRS), k=3, rounds=3
+        ).collect()))
+        assert got == want and len(got) > 0
+        import os
+
+        found = [
+            f for root, _d, fs in os.walk(ckdir) for f in fs
+        ]
+        assert found, "reliable checkpoint dir is empty"
+
+    def test_callable_and_bad_checkpoint_args(self, spark):
+        from deduce_spark.spark.checkpointing import make_checkpointer
+
+        calls = []
+
+        def spy(df):
+            calls.append(1)
+            return df.localCheckpoint(eager=True)
+
+        from deduce_spark.spark.webgraph import label_propagation
+
+        got = label_propagation(
+            _edges(spark, [("a", "b"), ("b", "c")]),
+            rounds=1, checkpoint=spy,
+        ).collect()
+        assert len(got) == 3 and len(calls) >= 2  # edge table + 1 round
+        with pytest.raises(TypeError):
+            make_checkpointer(42)
