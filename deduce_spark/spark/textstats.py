@@ -265,14 +265,18 @@ def paragraph_dedup(
     map-side combinable; the join back to documents is on the same hashed
     key.  This is exactly the boilerplate-paragraph removal pipeline from
     ccnet run as two shuffles, no UDF anywhere."""
-    words = f"split({text_col}, ' ')"
+    # split materialized once (same O(words^2) lambda-inlining trap as
+    # repetition_stats — see the comment there)
     paras = df.select(
         F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    ).select(
+        "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, int(ceil(size({words}) / "
+                f"transform(sequence(0, int(ceil(size(ws) / "
                 f"{words_per_para}.0)) - 1), "
-                f"i -> array_join(slice({words}, i * {words_per_para} + 1, "
+                f"i -> array_join(slice(ws, i * {words_per_para} + 1, "
                 f"{words_per_para}), ' '))"
             )
         ).alias("para"),
@@ -320,17 +324,21 @@ def repetition_stats(
     matching corpus_filter's join expectations."""
     if id_col != "doc_id":
         df = df.select(F.col(id_col).alias("doc_id"), text_col)
-    words = f"split({text_col}, ' ')"
+    # materialize the split ONCE: inlining split() into the transform
+    # lambda re-evaluates it per element (no common-subexpression
+    # elimination inside higher-order functions) — O(words^2) per doc,
+    # measured 57 s for a single 30k-word page vs <2 s with this column
+    base = df.select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
     bigrams = (
-        f"case when size({words}) < 2 then array() "
-        f"else transform(sequence(1, size({words}) - 1), "
-        f"i -> concat(element_at({words}, i), ' ', "
-        f"element_at({words}, i + 1))) end"
+        "case when size(ws) < 2 then array() "
+        "else transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', "
+        "element_at(ws, i + 1))) end"
     )
-    exploded = df.select(
+    exploded = base.select(
         "doc_id",
-        F.size(F.expr(words)).alias("n_words"),
-        F.explode(F.expr(words)).alias("w"),
+        F.size("ws").alias("n_words"),
+        F.explode("ws").alias("w"),
     )
     top = (
         exploded.groupBy("doc_id", "n_words", "w")
@@ -338,7 +346,7 @@ def repetition_stats(
         .groupBy("doc_id", "n_words")
         .agg(F.max("c").alias("top_c"))
     )
-    bg = df.select(
+    bg = base.select(
         "doc_id",
         F.size(F.expr(bigrams)).alias("n_bigrams"),
         F.size(F.array_distinct(F.expr(bigrams))).alias("n_distinct_bigrams"),
