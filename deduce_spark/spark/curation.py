@@ -51,14 +51,20 @@ def decontam_overlap(
     cached for the session (ADVICE r3 #1).
     """
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        words = f"split({text_col}, ' ')"
+        # split materialized once: inlined into the transform lambda it
+        # re-evaluates per n-gram (no CSE inside higher-order functions)
+        # — O(words^2) per doc, a single 30k-word page took ~57 s
         g = (
-            f"case when size({words}) < {n} then array() "
-            f"else transform(sequence(1, size({words}) - {n - 1}), "
-            f"i -> array_join(slice({words}, i, {n}), ' ')) end"
+            f"case when size(ws) < {n} then array() "
+            f"else transform(sequence(1, size(ws) - {n - 1}), "
+            f"i -> array_join(slice(ws, i, {n}), ' ')) end"
         )
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
-        return df.select(*cols, F.explode(F.expr(g)).alias("gram"))
+        base = df.select(*cols, F.split(F.col(text_col), " ").alias("ws"))
+        return base.select(
+            *(["doc_id"] if keep_id else []),
+            F.explode(F.expr(g)).alias("gram"),
+        )
 
     bench_grams = grams(benchmark, keep_id=False).distinct()
     # gate="broadcast"/"shuffle" skips the probe job entirely (zero jobs at
@@ -292,7 +298,10 @@ def pack_sequences(
 
 
 def corpus_filter(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int | None = None,
 ) -> DataFrame:
     """End-to-end keep/drop verdict per document — the composition a
     cleaning pipeline actually materializes before training.
@@ -301,6 +310,10 @@ def corpus_filter(
     all thresholds integer-exact so both engines agree bit-for-bit):
 
       too_short   n_words < 20
+      too_long    n_words > max_words (only when ``max_words`` is set —
+                  the crawl-scale memory bound: drops pathological
+                  multi-million-word pages BEFORE any shingling /
+                  signature stage sees them)
       repetitive  dup_bigram_permille >= 150 (Gopher-style repetition)
       dominated   top_word_permille >= 300  (one token owns the text)
       duplicate   another doc with a smaller id has identical text
@@ -326,7 +339,12 @@ def corpus_filter(
             "n_words",
             F.expr(
                 "case when n_words < 20 then 'too_short' "
-                "when dup_bigram_permille >= 150 then 'repetitive' "
+                + (
+                    f"when n_words > {int(max_words)} then 'too_long' "
+                    if max_words is not None
+                    else ""
+                )
+                + "when dup_bigram_permille >= 150 then 'repetitive' "
                 "when top_word_permille >= 300 then 'dominated' "
                 "when is_dup then 'duplicate' "
                 "else 'keep' end"

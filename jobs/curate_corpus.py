@@ -12,8 +12,10 @@ actually flows through, in order:
     lm        bigram_lm_score vs a reference slice (CCNet-style quality)
     verdicts  corpus_filter rules + contamination + LM threshold, one
               verdict per doc with the FIRST failing rule as drop reason
-              (too_short | repetitive | dominated | duplicate |
-               contaminated | off_model | keep)
+              (too_short | too_long | repetitive | dominated | duplicate |
+               contaminated | off_model | keep); too_long enforces
+              --max-doc-words (default 1M) so one pathological page can
+              never build an unbounded shingle/signature chunk downstream
     dedup     minhash_dedup over kept docs — near-dup clusters collapse
               to their canonical doc
     packs     pack_sequences over surviving docs — deterministic
@@ -76,6 +78,7 @@ def run_job(
     bench_mod: int = 101,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_words: int = 1_000_000,
 ) -> dict:
     from deduce_spark.spark.curation import (
         corpus_filter, decontam_overlap, pack_sequences,
@@ -135,7 +138,7 @@ def run_job(
     )
 
     def build_verdicts():
-        base = corpus_filter(docs)
+        base = corpus_filter(docs, max_words=max_doc_words)
         bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0)
         contam = decontam_overlap(docs, bench)
         return (
@@ -163,7 +166,10 @@ def run_job(
         kept_docs = docs.join(
             verdicts.filter("keep").select("doc_id"), "doc_id"
         )
-        clusters = minhash_dedup(kept_docs)
+        # verdicts already drop > max_doc_words docs (too_long), so the
+        # clamp here is defense in depth: signature memory stays bounded
+        # even if a caller disables the verdict rule
+        clusters = minhash_dedup(kept_docs, max_doc_words=max_doc_words)
         survivors = kept_docs.join(clusters, "doc_id", "left").filter(
             F.coalesce(F.col("canonical_id"), F.col("doc_id"))
             == F.col("doc_id")
@@ -191,6 +197,7 @@ def main(argv=None) -> int:
     p.add_argument("--seq-len", type=int, default=2048)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--max-doc-words", type=int, default=1_000_000)
     args = p.parse_args(argv)
     spark = (
         SparkSession.builder.appName("curate_corpus")
@@ -202,6 +209,7 @@ def main(argv=None) -> int:
             spark, args.input, args.output,
             resume=not args.no_resume, seq_len=args.seq_len,
             id_col=args.id_col, text_col=args.text_col,
+            max_doc_words=args.max_doc_words,
         )
         print(summary)
         return 0

@@ -107,3 +107,41 @@ class TestCrawlTableForm:
         assert s["stages"]["stats"]["rows"] == docs.count()
         assert 0 < s["stages"]["dedup"]["rows"] <= docs.count()
         assert s["stages"]["packs"]["rows"] == s["stages"]["dedup"]["rows"]
+
+
+class TestMaxDocWordsWiring:
+    def test_pathological_doc_dropped_before_signatures(
+        self, spark, tmp_path
+    ):
+        # round-6 wiring: a multi-hundred-thousand-word page must be
+        # dropped by the too_long verdict (and the minhash stage runs
+        # with the same clamp as defense in depth), so the job's memory
+        # stays bounded by max_doc_words regardless of input.
+        keepers = [
+            (i, " ".join(f"w{i}_{j}" for j in range(40)))
+            for i in range(1, 30)
+        ]
+        monster = (9999, " ".join(f"m{j}" for j in range(300_000)))
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(keepers + [monster], columns=["doc_id", "text"])
+        )
+        inp = str(tmp_path / "docs.parquet")
+        df.repartition(2).write.parquet(inp)
+        out = str(tmp_path / "curated")
+        summary = run_job(spark, inp, out, max_doc_words=10_000)
+        assert summary["stages"]["verdicts"]["rows"] == 30
+        from pathlib import Path
+
+        def snap(table):
+            return spark.read.parquet(
+                str(sorted((Path(out) / table / "data").glob("snap-*"))[-1])
+            )
+
+        verdicts = {
+            r["doc_id"]: r["verdict"] for r in snap("verdicts").collect()
+        }
+        assert verdicts[9999] == "too_long"
+        kept = {r["doc_id"] for r in snap("kept").collect()}
+        assert 9999 not in kept and len(kept) >= 20

@@ -112,6 +112,23 @@ class TestCorpusFilter:
         assert out[3] == ("keep", True)
         assert out[4] == ("duplicate", False)
 
+    def test_too_long_rule_gated_by_max_words(self, spark):
+        long_unique = " ".join(f"w{i}" for i in range(30))
+        huge = " ".join(f"x{i}" for i in range(120))
+        docs = spark.createDataFrame(
+            [(1, long_unique), (2, huge)], "doc_id long, text string"
+        )
+        # default: rule inactive, both keep (oracle-compat)
+        default = {r["doc_id"]: r["verdict"]
+                   for r in curation.corpus_filter(docs).collect()}
+        assert default == {1: "keep", 2: "keep"}
+        # with the crawl-scale bound: too_long fires, precedence after
+        # too_short (a tiny doc stays too_short, not too_long)
+        capped = {r["doc_id"]: r["verdict"]
+                  for r in curation.corpus_filter(
+                      docs, max_words=100).collect()}
+        assert capped == {1: "keep", 2: "too_long"}
+
 
 class TestSplitAssign:
     def test_weights_and_determinism(self, spark):
