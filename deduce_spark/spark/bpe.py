@@ -17,8 +17,34 @@ function of the input, no UDF, identical in both engines (DuckDB
 ``list_reduce``; pytest pins Spark == pure-Python reference == twin).
 
 The training loop's per-round argmax is a bounded 1-row collect (the
-exact_ntile discipline); the vocab table is localCheckpoint'ed per
-round so K rounds don't stack K fold-plans on top of each other.
+exact_ntile discipline); the vocab table is checkpointed per round so
+K rounds don't stack K fold-plans on top of each other.
+
+Scale path (``batch_k > 1``): a real tokenizer is 30-50k merges, and a
+strictly sequential loop is 30-50k driver-blocking jobs — scheduler
+latency alone dominates.  Each round therefore applies the longest
+SAFE prefix of the top-``batch_k`` pairs, where "safe" means provably
+identical to running the 1-at-a-time loop (the oracle, ``batch_k=1``):
+
+* prefix rule — candidates are taken strictly in (count DESC, l, r)
+  order and the batch stops at the first candidate that shares any
+  symbol (left, right, or fused string) with an earlier batch member:
+  applying a merge only DECREASES counts of pairs that touch its
+  symbols and only CREATES pairs that contain its fused symbol, so a
+  disjoint prefix's counts are exactly the pre-round counts;
+* tie trim — every batch member after the first must out-count the
+  first conflicting candidate STRICTLY (new/decreased pairs are
+  bounded by that count, and equal counts could steal the argmax via
+  the lexicographic tie-break);
+* alphabet guard — if a member's fused string collides with a symbol
+  already in the alphabet (e.g. merging ("a","b") when a literal "ab"
+  symbol exists), pre-existing pairs involving that symbol GAIN count,
+  so the batch is cut right after that member.  The alphabet is
+  maintained driver-side as a superset (initial distinct characters +
+  every fused string), which is conservative and cheap.
+
+Rank-1 is always kept (it is the sequential argmax by construction),
+so a round makes progress even when every candidate ties.
 """
 
 from __future__ import annotations
@@ -78,18 +104,71 @@ def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _safe_batch(
+    cands: list, want: int, alphabet: set | None
+) -> list[tuple[str, str, int]]:
+    """Longest prefix of ``cands`` (ordered (cnt DESC, l, r) rows,
+    possibly ``want + 1`` of them — the extra row is only a bound
+    sentinel) that the sequential loop would provably pick in the same
+    order.  See the module docstring for the three rules."""
+    kept: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    c_bound: int | None = None  # None == nothing outside kept can move
+    for i, row in enumerate(cands):
+        l, r, cnt = row["l"], row["r"], int(row["cnt"])
+        fused = l + r
+        if i >= want or {l, r, fused} & used:
+            # sentinel row, or first conflicting candidate: either way
+            # pairs from here down may change under the kept merges
+            # (decreases, or new fused-symbol pairs bounded by THIS
+            # count), so later kept members must beat it strictly
+            c_bound = cnt
+            break
+        kept.append((l, r, cnt))
+        used |= {l, r, fused}
+        if alphabet is not None and fused in alphabet:
+            # fusing creates MORE of a pre-existing symbol: pairs that
+            # touch it GAIN count once this merge applies, so the batch
+            # must end here (the next round recounts from scratch);
+            # unscanned candidates still bound what the earlier kept
+            # merges could have created
+            if i + 1 < len(cands):
+                c_bound = int(cands[i + 1]["cnt"])
+            break
+    if c_bound is None:
+        return kept
+    out = kept[:1]
+    for m in kept[1:]:
+        if m[2] <= c_bound:
+            break
+        out.append(m)
+    return out
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 8,
     text_col: str = "text",
     min_count: int = 2,
     checkpoint: CheckpointArg = None,
+    batch_k: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus; returns
     (rank, left, right, pair_count) in learned order.  Stops early when
-    no pair reaches ``min_count``."""
+    no pair reaches ``min_count``.
+
+    ``batch_k=1`` is the sequential oracle (one merge per round);
+    ``batch_k > 1`` applies up to ``batch_k`` provably-commuting merges
+    per round (module docstring), cutting driver round-trips by ~the
+    batch size at web scale while producing the IDENTICAL merge list.
+    ``bpe_train.last_rounds`` reports the round count of the latest
+    call (the scale evidence: 512 merges at batch_k=32 should take
+    ~512/32 rounds on a Zipfian corpus, not 512).
+    """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    if batch_k < 1:
+        raise ValueError("batch_k must be >= 1")
     cut = make_checkpointer(checkpoint)
     spark = docs.sparkSession
     vocab = cut(
@@ -98,8 +177,21 @@ def bpe_train(
             F.expr(_CHARS.format(col="word")).alias("sym"), "n"
         )
     )
+    alphabet: set[str] | None = None
+    if batch_k > 1:
+        # driver-side superset of the symbol alphabet (distinct chars,
+        # bounded; grown by each fused string) for the alphabet guard
+        alphabet = {
+            row["s"]
+            for row in vocab.select(
+                F.explode("sym").alias("s")
+            ).distinct().collect()
+        }
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        rounds += 1
+        want = min(batch_k, num_merges - len(merges))
         pairs = (
             vocab.filter(F.expr("size(sym)") >= 2)
             .select(
@@ -115,18 +207,25 @@ def bpe_train(
             .groupBy("p.l", "p.r")
             .agg(F.sum("n").alias("cnt"))
         )
-        best = (
+        top = (
             pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()  # single row by construction
+            .limit(want + 1)
+            .collect()  # bounded: at most batch_k + 1 rows
         )
-        if not best or best[0]["cnt"] < min_count:
+        cands = [row for row in top if int(row["cnt"]) >= min_count]
+        if not cands:
             break
-        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        batch = _safe_batch(cands, want, alphabet)
+        sym_expr = "sym"
+        for l, r, cnt in batch:
+            sym_expr = _merge_expr(sym_expr, l, r)
+            merges.append((len(merges), l, r, cnt))
+            if alphabet is not None:
+                alphabet.add(l + r)
         vocab = cut(vocab.select(
-            F.expr(_merge_expr("sym", l, r)).alias("sym"), "n"
+            F.expr(sym_expr).alias("sym"), "n"
         ))
-        merges.append((rank, l, r, cnt))
+    bpe_train.last_rounds = rounds
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )

@@ -124,6 +124,135 @@ class TestBPETrain:
         assert a == b
 
 
+class TestBPEBatchedTraining:
+    """batch_k > 1 must yield the IDENTICAL merge list to the
+    sequential oracle (batch_k=1 == pure-Python reference) — the
+    commuting-prefix argument in the module docstring, adversarially
+    exercised on tie-heavy small-alphabet corpora."""
+
+    FIXTURE = [
+        "the cat in the hat", "then there is that thing",
+        "this is the thesis", "aaa aaaa", "low lower lowest",
+    ]
+
+    def test_batch_matches_sequential_on_fixture(self, spark):
+        want = _ref_train(self.FIXTURE, 8)
+        docs = _docs(spark, self.FIXTURE)
+        for k in (2, 4, 8):
+            got = [
+                (r["rank"], r["left"], r["right"], r["pair_count"])
+                for r in bpe_train(
+                    docs, num_merges=8, batch_k=k
+                ).collect()
+            ]
+            assert got == want, f"batch_k={k} diverged"
+
+    def test_batch_randomized_tie_heavy_equivalence(self, spark):
+        # 3-letter alphabet, short words: maximal pair-count ties and
+        # fused-symbol collisions (e.g. (a,ab) vs (aa,b) both -> 'aab')
+        import random
+
+        for seed in (7, 23, 101):
+            rng = random.Random(seed)
+            texts = [
+                " ".join(
+                    "".join(
+                        rng.choice("abc")
+                        for _ in range(rng.randint(1, 6))
+                    )
+                    for _ in range(rng.randint(3, 12))
+                )
+                for _ in range(25)
+            ]
+            want = _ref_train(texts, 10)
+            got = [
+                (r["rank"], r["left"], r["right"], r["pair_count"])
+                for r in bpe_train(
+                    _docs(spark, texts), num_merges=10, batch_k=4
+                ).collect()
+            ]
+            assert got == want, f"seed={seed} diverged"
+
+    def test_batch_cuts_driver_rounds(self, spark):
+        # Zipf-like vocabulary of symbol-disjoint words with strictly
+        # decreasing frequencies (a tie-free head, as real word-rank
+        # distributions have): the batched form must finish in ~K/k
+        # driver round-trips, the sequential form in exactly K
+        words = ["ab", "cd", "ef", "gh", "ij", "kl",
+                 "mn", "op", "qr", "st", "uv", "wx"]
+        texts = [
+            " ".join(
+                w for i, w in enumerate(words) for _ in range(130 - 6 * i)
+            )
+        ]
+        docs = _docs(spark, texts)
+        seq = [tuple(r) for r in bpe_train(docs, num_merges=12).collect()]
+        assert bpe_train.last_rounds == 12
+        bat = [
+            tuple(r)
+            for r in bpe_train(docs, num_merges=12, batch_k=6).collect()
+        ]
+        rounds = bpe_train.last_rounds
+        assert bat == seq and len(seq) == 12
+        assert rounds <= 3, f"expected <=3 rounds, got {rounds}"
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            bpe_train(_docs(spark, ["x"]), num_merges=1, batch_k=0)
+
+
+class TestSafeBatchUnit:
+    """Driver-side prefix logic in isolation (rows as dicts)."""
+
+    @staticmethod
+    def _rows(*triples):
+        return [{"l": l, "r": r, "cnt": c} for l, r, c in triples]
+
+    def test_disjoint_prefix_kept(self):
+        from deduce_spark.spark.bpe import _safe_batch
+
+        cands = self._rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7))
+        assert _safe_batch(cands, 3, set("abcdef")) == [
+            ("a", "b", 9), ("c", "d", 8), ("e", "f", 7)
+        ]
+
+    def test_conflict_breaks_and_tie_trims(self):
+        from deduce_spark.spark.bpe import _safe_batch
+
+        # (a,c) shares 'a' with rank-1: batch cuts there, and the
+        # equal-count (c,d) is trimmed (could lose the argmax to a
+        # pair whose count changed up to the conflict bound 8)
+        cands = self._rows(
+            ("a", "b", 9), ("c", "d", 8), ("a", "c", 8), ("e", "f", 7)
+        )
+        assert _safe_batch(cands, 4, set("abcdef")) == [("a", "b", 9)]
+
+    def test_sentinel_row_bounds_but_never_joins(self):
+        from deduce_spark.spark.bpe import _safe_batch
+
+        # want=2 -> third row is only the strictness bound: (c,d) at 8
+        # survives because 8 > 6, but the sentinel itself is never kept
+        cands = self._rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 6))
+        assert _safe_batch(cands, 2, set("abcdef")) == [
+            ("a", "b", 9), ("c", "d", 8)
+        ]
+
+    def test_alphabet_collision_cuts_batch(self):
+        from deduce_spark.spark.bpe import _safe_batch
+
+        # fusing (a,b) -> 'ab' while 'ab' is ALREADY a symbol: counts
+        # of pairs touching 'ab' will GAIN, so nothing after it is safe
+        cands = self._rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7))
+        assert _safe_batch(cands, 3, {"a", "b", "ab", "c", "d", "e", "f"}) \
+            == [("a", "b", 9)]
+
+    def test_rank_one_always_survives_ties(self):
+        from deduce_spark.spark.bpe import _safe_batch
+
+        cands = self._rows(("a", "b", 5), ("a", "c", 5), ("d", "e", 5))
+        assert _safe_batch(cands, 3, set("abcde")) == [("a", "b", 5)]
+
+
 def test_bpe_train_directory_checkpoint(spark, tmp_path):
     from deduce_spark.spark.bpe import bpe_train
 
