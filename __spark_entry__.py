@@ -401,33 +401,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the unscored tail (still runnable/oracled, just not driver-scored).
 _QUERY_ORDER = [
     # knowledge-graph construction pipeline (golden-fixture oracles)
-    "kg_mentions_by_tag", "kg_triples_by_pred", "kg_link_scores",
+    "kg_mentions_by_tag", "kg_triples_by_pred", "kg_anchor_canon",
+    "kg_link_scores",
     "kg_entity_degree", "kg_top_cooccurrence", "kg_pagerank",
     "kg_triangles", "kg_redact_sample",
     # dedup / similarity sketches (golden-fixture oracles)
     "minhash_dedup_docs", "simhash_pairs_docs", "lsh_topk_embeddings",
     "ivf_topk_embeddings", "winnow_fingerprints",
-    # multimodal (golden-fixture oracles)
-    "media_probe", "media_resize", "media_audio_stats", "media_image_stats",
-    # dedup / similarity (SQL twins)
-    "exact_dedup", "embed_cosine_dedup", "ngram_jaccard", "embed_topk",
-    "embed_hash_docs",
-    # text analysis / curation (doc_textstats = tokens+quality+lang+md5
-    # fingerprint in ONE scan; individual forms pinned in demoted_queries)
+    # multimodal (golden-fixture oracles; image_stats twin in demoted)
+    "media_probe", "media_resize", "media_audio_stats",
+    # dedup / similarity (SQL twins; brute embed_topk twin in demoted —
+    # the family stays scored via lsh/ivf topk + cosine_dedup)
+    "exact_dedup", "embed_cosine_dedup", "ngram_jaccard",
+    # text analysis / curation / retrieval (doc_textstats = tokens+quality
+    # +lang+md5 fingerprint in ONE scan; individual forms in demoted)
     "doc_textstats", "word_freq_topk", "para_dedup_docs", "doc_repetition",
     "decontam_overlap_docs", "sample_per_lang", "token_budget_mix_docs",
     "corpus_filter_docs", "split_assign_docs", "distinctive_terms_by_lang",
-    # sketches / substring dedup / web-url ops
-    "hll_words_registers", "substr_dup_docs", "url_canonical_hosts",
-    "link_graph_indegree",
+    "bm25_topk_docs", "bpe_token_counts_docs",
+    # sketches / substring dedup / web-url / webgraph ops
+    "hll_words_registers", "bloom_decontam_words", "cms_word_counts",
+    "substr_dup_docs", "url_canonical_hosts", "link_graph_indegree",
+    "kcore_link_hosts",
     # kernel stages exposed relationally (regex_annotators = A2 identifier
     # + A5 phone union; per-pattern twins pinned in demoted_queries)
     "tokenize_t1", "mentions_gap_merge", "fuzzy_name_pairs", "bsn_elfproef",
     "regex_annotators",
-    # relational checklist (§2.6) — every distinct family scored
+    # relational checklist (§2.6) — one scored member per distinct family
+    # (plain agg / set-op / rollup / pivot twins live in demoted)
     "events_sessionize", "events_asof_purchase", "domain_counts_salted",
-    "tpch_q1", "bucket_except", "orders_rollup", "events_pivot",
-    "lineitem_percentiles", "acctbal_deciles",
+    "events_funnel", "lineitem_percentiles", "acctbal_deciles",
 ]
 
 # Redundant relational/regex twins of scored queries, demoted out of the
@@ -444,18 +447,23 @@ _DEMOTED_ORDER = [
     # regex family twins (pattern variants of regex_annotators)
     "regex_emails", "regex_dates", "regex_urls", "regex_postal",
     "events_regex_extract",
-    # relational twins of scored join/agg/window queries
+    # relational twins of scored join/agg/window queries (tpch_q1 /
+    # bucket_except / orders_rollup / events_pivot rotated out in round 6
+    # to put round-5 operator families on the driver's board)
     "tpch_q3ish", "brand_volume", "nation_supplier_stats", "cust_no_orders",
     "brands_traded_semi", "events_moving_avg", "orders_above_cust_avg",
     "events_value_buckets", "orders_daily_delta", "events_hourly",
-    "segment_top_customers",
-    # round-5 breadth additions (scored window stays pinned at 50)
+    "segment_top_customers", "tpch_q1", "bucket_except", "orders_rollup",
+    "events_pivot",
+    # similarity / media twins rotated out in round 6 (families stay
+    # scored via lsh/ivf/cosine and probe/resize/audio)
+    "embed_hash_docs", "media_image_stats", "embed_topk",
+    # round-5 breadth additions not in the scored window (bm25/bloom/cms/
+    # funnel/kcore/bpe representatives rotated INTO the window in round 6)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
-    "anchor_text_by_host", "bm25_topk_docs", "bloom_decontam_words",
-    "hits_link_hosts", "lm_quality_score", "cms_word_counts",
-    "kcore_link_hosts", "hll_words_by_lang", "doclen_log2_hist",
-    "lpa_link_hosts", "events_funnel", "events_cohort_retention",
-    "bfs_link_hosts", "bpe_token_counts_docs",
+    "anchor_text_by_host", "hits_link_hosts", "lm_quality_score",
+    "hll_words_by_lang", "doclen_log2_hist", "lpa_link_hosts",
+    "events_cohort_retention", "bfs_link_hosts",
 ]
 
 
@@ -1799,6 +1807,55 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples_by_pred"] = kg_triples_by_pred
 
+    def kg_anchor_canon(spark, sf_dir):
+        # anchor-text naming evidence into entity canonicalization
+        # (kg.anchor_surface_weights / nodes_from_surface_map anchor_weights):
+        # a deterministic external crawl — one <a href=page-url>mention
+        # text</a> per PERSOON mention whose text-hash lands in the 1/7
+        # slice — goes through the REAL weburl.extract_anchors chain, the
+        # votes re-pick each entity's canonical form, and the output counts
+        # per type how many entities' canonical surface the anchors flipped
+        # (the skewed subsample out-votes the plain mention-count argmax).
+        # Golden-fixture oracle (golden.py kg_anchor_canon replica).
+        from deduce_spark.spark import kg
+        from deduce_spark.spark.weburl import extract_anchors
+
+        m = _mentions(spark, sf_dir)
+        surface_map, _nodes = _canon(spark, sf_dir)
+        pers = m.filter(kg.node_type(F.col("tag")) == "PERSOON").filter(
+            F.pmod(F.xxhash64("text"), F.lit(7)) == 0
+        )
+        crawl = pers.select(
+            F.concat(
+                F.lit('<html><body><a href="'), F.col("url"), F.lit('">'),
+                F.col("text"), F.lit("</a></body></html>"),
+            ).cast("binary").alias("html"),
+            F.concat(
+                F.lit("https://ext.nl/l/"),
+                F.xxhash64("url", "text").cast("string"),
+            ).alias("url"),
+        )
+        weights = kg.anchor_surface_weights(extract_anchors(crawl), m)
+        before = kg.nodes_from_surface_map(surface_map).select(
+            "entity_id", "type", F.col("canonical_form").alias("before")
+        )
+        after = kg.nodes_from_surface_map(surface_map, weights).select(
+            "entity_id", "type", F.col("canonical_form").alias("after")
+        )
+        return (
+            before.join(after, ["entity_id", "type"])
+            .groupBy("type")
+            .agg(
+                F.count(F.lit(1)).alias("n_entities"),
+                F.sum(
+                    F.when(F.col("before") != F.col("after"), 1).otherwise(0)
+                ).alias("n_flipped"),
+            )
+            .orderBy("type")
+        )
+
+    q["kg_anchor_canon"] = kg_anchor_canon
+
     def kg_link_scores(spark, sf_dir):
         # entity-link scoring against broadcast name/institution
         # dictionaries (north_star stage; no reference counterpart)
@@ -3031,6 +3088,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
             for name, order in {
                 "kg_mentions_by_tag": "tag",
                 "kg_triples_by_pred": "pred",
+                "kg_anchor_canon": "type",
                 "kg_link_scores": "type, link_evidence",
                 "kg_entity_degree": "degree",
                 "kg_top_cooccurrence": "n_pages DESC, subj_form, obj_form",

@@ -351,6 +351,38 @@ def golden_kg(n_pages: int) -> dict[str, pd.DataFrame]:
         [(len(knodes), len(kedges), n_tri)],
         columns=["n_nodes_kept", "n_edges_kept", "n_triangles"],
     ).astype("int64")
+
+    # kg_anchor_canon replica: anchor-text canonical-form evidence ---------
+    # The query builds a deterministic external crawl — one <a href=page>
+    # anchor per PERSOON mention whose text xxhash64 lands in the 1/7
+    # slice — runs it through weburl.extract_anchors, and feeds the
+    # (surface, anchor_n) votes into nodes_from_surface_map.  The skewed
+    # subsample means a runner-up surface can out-vote the mention-count
+    # argmax, flipping the canonical form (kg.py anchor_surface_weights).
+    votes: Counter = Counter()
+    for text, tag in zip(mentions["text"], mentions["tag"]):
+        if _node_type(tag) != "PERSOON":
+            continue
+        if spark_xxhash64(text) % 7 != 0:
+            continue
+        votes[_normalize_surface(text)] += 1
+    by_ent: dict[tuple, list] = defaultdict(list)
+    for s, ty, _sid, eid, n in surface_map:
+        by_ent[(eid, ty)].append((s, n))
+    tot: Counter = Counter()
+    flipped: Counter = Counter()
+    for (eid, ty), forms in by_ent.items():
+        tot[ty] += 1
+        before = min(forms, key=lambda fn: (-fn[1], fn[0]))[0]
+        after = min(
+            forms, key=lambda fn: (-(fn[1] + votes.get(fn[0], 0)), fn[0])
+        )[0]
+        if after != before:
+            flipped[ty] += 1
+    out["kg_anchor_canon"] = pd.DataFrame(
+        sorted((ty, tot[ty], flipped.get(ty, 0)) for ty in tot),
+        columns=["type", "n_entities", "n_flipped"],
+    ).astype({"n_entities": "int64", "n_flipped": "int64"})
     return out
 
 

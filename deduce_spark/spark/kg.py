@@ -338,7 +338,9 @@ FUZZY_TYPES = ("PERSOON", "LOCATIE", "INSTELLING")
 
 
 def canonicalize(
-    mentions: DataFrame, fuzzy_types: tuple[str, ...] = FUZZY_TYPES
+    mentions: DataFrame,
+    fuzzy_types: tuple[str, ...] = FUZZY_TYPES,
+    anchors: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """mentions -> (surface_map, nodes).
 
@@ -350,6 +352,13 @@ def canonicalize(
     '11 oktober 2018' are different entities even though their edit
     distance is 1 (fuzzy-merging dates also creates quadratic hot
     clusters at scale).
+
+    ``anchors`` (optional, extract_anchors output) feeds anchor text in
+    as canonical-form naming evidence: votes from anchors resolving to
+    crawled pages are added to each surface's mention count when the
+    canonical form is picked (see :func:`anchor_surface_weights` /
+    :func:`nodes_from_surface_map`).  Entity identity (surface_map) is
+    NOT affected — anchors name entities, they don't merge them.
     """
     surf = surfaces(mentions).cache()
     fuzzy = surf.filter(F.col("type").isin(*fuzzy_types))
@@ -363,20 +372,75 @@ def canonicalize(
     ).cache()  # consumed by canon + nodes here AND by the caller's
     # triples() broadcast join — uncached, every consumer re-runs the
     # whole LSH chain (measured 78s -> 31s for the sf0.1 triples query)
-    return surface_map, nodes_from_surface_map(surface_map)
+    weights = (
+        anchor_surface_weights(anchors, mentions)
+        if anchors is not None
+        else None
+    )
+    return surface_map, nodes_from_surface_map(surface_map, weights)
 
 
-def nodes_from_surface_map(surface_map: DataFrame) -> DataFrame:
+def anchor_surface_weights(
+    anchors: DataFrame, mentions: DataFrame | None = None
+) -> DataFrame:
+    """(surface, anchor_n) — external-vote counts per normalized anchor
+    text, the classic "what does the web call this page?" evidence
+    (ref: deduce has no web layer; this is graft-new, consumed by
+    :func:`canonicalize` and jobs/build_kg.py).
+
+    ``anchors`` is :func:`deduce_spark.spark.weburl.extract_anchors`
+    output (src_url, dst_url, anchor).  When ``mentions`` is given, only
+    anchors whose destination resolves to a crawled page (a url that
+    actually produced mentions) count — links into pages we never saw
+    carry no naming evidence for OUR entities.
+
+    Scale shape: one left-semi join on dst_url + one groupBy on the
+    normalized anchor string; both plain shuffles (no broadcast hint —
+    at web scale the distinct-url and distinct-anchor tables are each
+    potentially huge, so the hint is left to AQE)."""
+    a = anchors
+    if mentions is not None:
+        a = a.join(
+            mentions.select(F.col("url").alias("dst_url")).distinct(),
+            "dst_url",
+            "leftsemi",
+        )
+    return (
+        a.select(normalize_surface(F.col("anchor")).alias("surface"))
+        .filter(F.length("surface") > 0)
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("anchor_n"))
+    )
+
+
+def nodes_from_surface_map(
+    surface_map: DataFrame, anchor_weights: DataFrame | None = None
+) -> DataFrame:
     """(entity_id, type, canonical_form, n_mentions) from a surface map —
-    canonical form = most-mentioned surface in the entity (deterministic
-    tie-break on the surface string)."""
+    canonical form = highest-voted surface in the entity (deterministic
+    tie-break on the surface string).
+
+    The vote is ``n_mentions`` alone by default; with ``anchor_weights``
+    ((surface, anchor_n) from :func:`anchor_surface_weights`) each
+    surface's vote becomes ``n_mentions + anchor_n`` — anchor text is
+    naming evidence, so a surface the web links with can out-vote a
+    surface the page text uses more often.  ``n_mentions`` in the output
+    stays the pure mention count (the vote only picks the form)."""
     from pyspark.sql import Window
 
+    sm = surface_map
+    if anchor_weights is not None:
+        sm = sm.join(anchor_weights, "surface", "left").withColumn(
+            "_vote",
+            F.col("n_mentions") + F.coalesce(F.col("anchor_n"), F.lit(0)),
+        )
+    else:
+        sm = sm.withColumn("_vote", F.col("n_mentions"))
     w = Window.partitionBy("entity_id", "type").orderBy(
-        F.desc("n_mentions"), F.asc("surface")
+        F.desc("_vote"), F.asc("surface")
     )
     canon = (
-        surface_map.withColumn("rn", F.row_number().over(w))
+        sm.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("entity_id", "type", F.col("surface").alias("canonical_form"))
     )

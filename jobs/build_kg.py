@@ -59,6 +59,7 @@ def run_job(
     person_col: str | None = None,
     incremental: bool = False,
     commit_waves: int = 1,
+    anchor_evidence: bool = True,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.iceberg_catalog import open_table
@@ -276,9 +277,18 @@ def run_job(
     # full (also the --incremental bootstrap when no surface_map exists
     # yet, and the layout-change path); mark every completed part folded
     # so a later --incremental run starts from here
+    anchors = None
+    if anchor_evidence and input_path and from_html and not kg_only:
+        # anchor text is canonical-form naming evidence (kg.canonicalize
+        # anchors=): one extra scan of the crawl html at stage B — href
+        # resolution + anchor pairing are native regexp expressions, and
+        # only the tiny (surface, anchor_n) aggregate reaches the join
+        from deduce_spark.spark.weburl import extract_anchors
+
+        anchors = extract_anchors(spark.read.parquet(input_path))
     res = _stage_b(
         spark, out, log, run_id, seq, mentions_table, engine,
-        with_cooccurrence, expire_keep, summary,
+        with_cooccurrence, expire_keep, summary, anchors=anchors,
     )
     done = sorted(set(log.completed()))
     if done:
@@ -290,7 +300,7 @@ def run_job(
 
 def _stage_b(
     spark, out, log, run_id, seq, mentions_table, engine,
-    with_cooccurrence, expire_keep, summary,
+    with_cooccurrence, expire_keep, summary, anchors=None,
 ) -> dict:
     from deduce_spark.spark import lineage as lin
     from deduce_spark.spark.iceberg_catalog import open_table
@@ -301,7 +311,7 @@ def _stage_b(
     t0 = time.monotonic()
     link_bc = spark.sparkContext.broadcast(build_link_dicts(engine))
     mentions_all = mentions_table.read(spark)
-    surface_map, nodes = canonicalize(mentions_all)
+    surface_map, nodes = canonicalize(mentions_all, anchors=anchors)
     nodes = link_scores(nodes, link_bc)
     edges = triples(mentions_all, surface_map, with_cooccurrence=with_cooccurrence)
     edges = salted_repartition(edges, spark.sparkContext.defaultParallelism)
@@ -443,6 +453,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--from-text", action="store_true",
                     help="use the text column instead of extracting from html")
     ap.add_argument("--no-cooccurrence", action="store_true")
+    ap.add_argument("--no-anchor-evidence", action="store_true",
+                    help="skip anchor-text canonical-form evidence (on by "
+                         "default for html inputs; kg-only/incremental "
+                         "runs never recompute it)")
     ap.add_argument("--person-col", default=None, metavar="COL",
                     help="optional per-page known-person struct column "
                          "(first_names array<string>, initials, surname) "
@@ -483,6 +497,7 @@ def main(argv: list[str] | None = None) -> int:
             person_col=args.person_col,
             incremental=args.incremental,
             commit_waves=args.commit_waves,
+            anchor_evidence=not args.no_anchor_evidence,
         )
     finally:
         spark.stop()

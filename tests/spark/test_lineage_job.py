@@ -432,3 +432,50 @@ class TestCommitWaves:
 
         a, b = table_hash(out), table_hash(ref_out)
         assert (a["h"], a["n"]) == (b["h"], b["n"])
+
+
+def test_anchor_evidence_through_job(spark, engine, tmp_path):
+    # round-6: build_kg consumes extract_anchors(pages) as canonical-form
+    # evidence.  3 pages mention "Jan van der Bakker", 1 page the variant
+    # "Jan van der Bakkers" (LSH-mergeable); every page carries 3 anchor
+    # tags naming the variant.  The anchors live in an HTML comment so
+    # extract_text drops them (they must not add MENTIONS — the test
+    # isolates the anchor-vote path, which reads raw html) while the
+    # regex-based extract_anchors still sees them.  With evidence the
+    # merged entity's canonical form is the anchor-voted variant; with
+    # --no-anchor-evidence it is the mention-count argmax.
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    a_sent = ("<p>De redactie sprak met Jan van der Bakker, 40 jaar oud, "
+              "uit Delft.</p>")
+    b_sent = ("<p>De redactie sprak met Jan van der Bakkers, 41 jaar oud, "
+              "uit Delft.</p>")
+    anchor = ('<!-- <a href="https://t.nl/p3">Jan van der Bakkers</a> -->'
+              * 3)
+    rows = []
+    for i in range(4):
+        body = (b_sent if i == 3 else a_sent) + anchor
+        rows.append((f"https://t.nl/p{i}", ts,
+                     f"<html><body>{body}</body></html>".encode(), "nl"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+
+    def canon_forms(out, **kw):
+        s = run_job(spark, str(src), str(out), n_parts=2, engine=engine,
+                    **kw)
+        assert s["mentions_rows_written"] > 0
+        nodes = IceTable(out / "nodes").read(spark)
+        return {
+            r["canonical_form"]
+            for r in nodes.filter(F.col("type") == "PERSOON").collect()
+        }
+
+    with_anchor = canon_forms(tmp_path / "kg_a")
+    without = canon_forms(tmp_path / "kg_b", anchor_evidence=False)
+    assert "jan van der bakker" in without
+    assert "jan van der bakkers" in with_anchor
+    assert with_anchor != without
