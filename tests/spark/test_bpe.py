@@ -263,3 +263,37 @@ def test_bpe_train_directory_checkpoint(spark, tmp_path):
     a = [tuple(r) for r in bpe_train(docs, num_merges=4).collect()]
     b = [tuple(r) for r in bpe_train(docs, num_merges=4, checkpoint=ck).collect()]
     assert a == b and len(a) >= 1
+
+
+class TestBPEApproxBatching:
+    """exact=False — the production-scale greedy batch: ~K/k rounds,
+    deterministic, merge SET drawn from true pre-round counts but order
+    approximate where pairs interact."""
+
+    def test_rounds_scale_inverse_with_k(self, spark):
+        docs = _docs(spark, TestBPEBatchedTraining.FIXTURE * 3)
+        seq = bpe_train(docs, num_merges=12).collect()
+        assert bpe_train.last_rounds == 12
+        approx = bpe_train(
+            docs, num_merges=12, batch_k=6, exact=False
+        ).collect()
+        rounds = bpe_train.last_rounds
+        assert rounds <= 5, rounds
+        assert len(approx) == len(seq) == 12
+        # greedy skipping still only applies real top pairs: the merge
+        # SETS overlap heavily even where the order diverges
+        s = {(r["left"], r["right"]) for r in seq}
+        a = {(r["left"], r["right"]) for r in approx}
+        assert len(s & a) >= 8
+
+    def test_deterministic(self, spark):
+        docs = _docs(spark, TestBPEBatchedTraining.FIXTURE)
+        one = [tuple(r) for r in bpe_train(
+            docs, num_merges=10, batch_k=4, exact=False).collect()]
+        two = [tuple(r) for r in bpe_train(
+            docs, num_merges=10, batch_k=4, exact=False).collect()]
+        assert one == two
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            bpe_train(_docs(spark, ["x y"]), num_merges=2, exact=False)
