@@ -410,9 +410,10 @@ _QUERY_ORDER = [
     "ivf_topk_embeddings", "winnow_fingerprints",
     # multimodal (golden-fixture oracles; image_stats twin in demoted)
     "media_probe", "media_resize", "media_audio_stats",
-    # dedup / similarity (SQL twins; brute embed_topk twin in demoted —
-    # the family stays scored via lsh/ivf topk + cosine_dedup)
-    "exact_dedup", "embed_cosine_dedup", "ngram_jaccard",
+    # dedup / similarity (brute embed_topk + exact_dedup twins in
+    # demoted — the family stays scored via minhash/simhash/lsh/ivf/
+    # cosine_dedup + the round-6 semantic_dedup scale path)
+    "semantic_dedup_embeddings", "embed_cosine_dedup", "ngram_jaccard",
     # text analysis / curation / retrieval (doc_textstats = tokens+quality
     # +lang+md5 fingerprint in ONE scan; individual forms in demoted)
     "doc_textstats", "word_freq_topk", "para_dedup_docs", "doc_repetition",
@@ -457,7 +458,7 @@ _DEMOTED_ORDER = [
     "events_pivot",
     # similarity / media twins rotated out in round 6 (families stay
     # scored via lsh/ivf/cosine and probe/resize/audio)
-    "embed_hash_docs", "media_image_stats", "embed_topk",
+    "embed_hash_docs", "media_image_stats", "embed_topk", "exact_dedup",
     # round-5 breadth additions not in the scored window (bm25/bloom/cms/
     # funnel/kcore/bpe representatives rotated INTO the window in round 6)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
@@ -545,6 +546,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embed_cosine_dedup"] = embed_cosine_dedup
+
+    def semantic_dedup_embeddings(spark, sf_dir):
+        # SemDeDup-style semantic near-dup removal (Abbas et al. 2023):
+        # spherical k-means (integer-quantized Lloyd) -> within-cluster
+        # quantized-cosine pairs (int64-exact threshold, no float
+        # boundary) -> distributed connected components; canonical = min
+        # id, the minhash_dedup contract.  The O(n²) is confined inside
+        # clusters with a hard size cap — the scale path brute cosine
+        # lacks.  Golden-fixture oracle (golden_semantic_dedup replica).
+        from deduce_spark.spark.similarity import semantic_dedup
+
+        return semantic_dedup(_emb(spark, sf_dir), tau=0.35).orderBy(
+            "vec_id"
+        )
+
+    q["semantic_dedup_embeddings"] = semantic_dedup_embeddings
 
     def doc_quality(spark, sf_dir):
         from deduce_spark.spark.textstats import quality_score
@@ -3096,6 +3113,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
                 "kg_pagerank": "rank DESC, entity_id",
                 "kg_triangles": "n_triangles",
                 "minhash_dedup_docs": "doc_id",
+                "semantic_dedup_embeddings": "vec_id",
                 "simhash_pairs_docs": "a, b",
                 "lsh_topk_embeddings": "query_id, rank",
                 "ivf_topk_embeddings": "query_id, rank",

@@ -569,6 +569,70 @@ def golden_ivf(
               "cosine": "float64"})
 
 
+def golden_semantic_dedup(
+    emb: pd.DataFrame,
+    tau: float = 0.35,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    max_cluster: int = 4096,
+) -> pd.DataFrame:
+    """Replica of similarity.semantic_dedup (SemDeDup-style): spherical
+    k-means -> within-cluster quantized-cosine pairs -> min-root
+    components.  Training/assignment mirror golden_ivf; the pair score is
+    int64 (floor(vn * 2^20) per side), so the >= threshold compare is
+    exact in both engines."""
+    from deduce_spark.spark.similarity import (
+        IVF_QUANT, PAIR_QUANT, ivf_quant_scores,
+    )
+
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    raw64 = np.vstack(
+        [np.asarray(v, dtype=np.float32) for v in emb["embedding"]]
+    ).astype(np.float64)
+
+    # train (= golden_ivf's block)
+    init_idx = np.argsort(ids, kind="stable")[:n_centroids]
+    cents = raw64[init_idx].copy()
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    nrm = np.sqrt(np.cumsum(raw64 * raw64, axis=1)[:, -1])
+    vn = raw64 / nrm[:, None]
+    for _ in range(n_iters):
+        cid = ivf_quant_scores(vn, cents).argmax(axis=1)
+        new = cents.copy()
+        for c in range(n_centroids):
+            members = vn[cid == c]
+            if not len(members):
+                continue
+            acc = np.floor(members * IVF_QUANT).astype(np.int64).sum(axis=0)
+            vec = acc.astype(np.float64)
+            n2 = np.linalg.norm(vec)
+            if n2 > 0:
+                new[c] = vec / n2
+        cents = new
+
+    # assign on the normalized vectors (matches semantic_dedup)
+    cid = ivf_quant_scores(vn, cents).argmax(axis=1)
+    qv = np.floor(vn * PAIR_QUANT).astype(np.int64)
+    thresh = int(tau * PAIR_QUANT * PAIR_QUANT)
+    by_cluster: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(cid):
+        by_cluster[int(c)].append(i)
+    uf = _UnionFind()
+    for members in by_cluster.values():
+        if len(members) > max_cluster:
+            continue
+        for ii, i in enumerate(members):
+            for j in members[ii + 1:]:
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                if int(qv[a] @ qv[b]) >= thresh:
+                    uf.union(int(ids[a]), int(ids[b]))
+    comp = uf.labels()
+    order = sorted(int(v) for v in ids)
+    return pd.DataFrame(
+        {"vec_id": order, "canonical_id": [comp.get(v, v) for v in order]}
+    ).astype("int64")
+
+
 def golden_winnow(docs: pd.DataFrame) -> pd.DataFrame:
     from deduce_spark.spark.textstats import winnow_doc
 
@@ -681,6 +745,7 @@ def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> Path:
     outputs["simhash_pairs_docs"] = golden_simhash(docs)
     outputs["lsh_topk_embeddings"] = golden_lsh_topk(emb)
     outputs["ivf_topk_embeddings"] = golden_ivf(emb)
+    outputs["semantic_dedup_embeddings"] = golden_semantic_dedup(emb)
     outputs["winnow_fingerprints"] = golden_winnow(docs)
     outputs["substr_dup_rolling"] = golden_substr_rolling(docs)
     outputs.update(golden_media())

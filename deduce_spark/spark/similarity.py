@@ -470,3 +470,103 @@ def feature_hash_embed(
             ).alias("embedding"),
         )
     )
+
+
+PAIR_QUANT = 1 << 20  # per-side quantization for pair dots (cf. ivf_quant_scores)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    tau: float = 0.7,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 4096,
+    checkpoint=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023):
+    cluster the embedding space, compare only within clusters, collapse
+    each near-dup group to one representative.  Returns
+    ``(vec_id, canonical_id)`` for every input vector — canonical is the
+    smallest id in the vector's near-dup component (singletons map to
+    themselves), the same contract as ``dedup.minhash_dedup`` so the two
+    drop-in compose in a curation job.
+
+    Pipeline (every stage deterministic and partitioning-invariant):
+
+    1. spherical k-means coarse clustering (:func:`ivf_train` — integer-
+       quantized Lloyd, no RNG over data);
+    2. one Arrow assignment pass on the NORMALIZED vectors;
+    3. within-cluster pairs with quantized cosine >= tau: both sides
+       floor-quantized at 2^20 (``PAIR_QUANT``), int64 dot (64-dim sum
+       < 2^47), threshold ``int(tau * PAIR_QUANT**2)`` — exact integer
+       comparison in both engines, no float boundary to disagree on;
+    4. :func:`deduce_spark.spark.kg.connected_components` over the pair
+       graph (small-star/large-star; component label = min id).
+
+    Scale shape: the O(n²) lives strictly inside a cluster, and clusters
+    above ``max_cluster`` are skipped whole (the minhash/LSH bucket-cap
+    discipline — a degenerate embedding region must not emit B² rows; at
+    corpus scale raise ``n_centroids`` so clusters stay small: SemDeDup
+    uses ~50k clusters for 10^8+ docs).  The quantized pair dot is a
+    native zip_with/aggregate fold — JVM-side, no Python in the join."""
+    from deduce_spark.spark.kg import connected_components
+
+    spark = vectors.sparkSession
+    cents = ivf_train(vectors, n_centroids, n_iters, id_col, vec_col)
+    vnorm = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v0"),
+        )
+        .withColumn("nrm", _norm(F.col("v0")))
+        .select(
+            "vec_id",
+            F.transform("v0", lambda x: x / F.col("nrm")).alias("v"),
+        )
+    )
+    assigned = _ivf_assign(vnorm, spark.sparkContext.broadcast(cents), "v")
+    qv = vnorm.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.floor(x * F.lit(float(PAIR_QUANT))).cast("long")
+        ).alias("q"),
+    )
+    csize_w = Window.partitionBy("cid")
+    members = (
+        assigned.withColumn("csize", F.count(F.lit(1)).over(csize_w))
+        .filter(F.col("csize") <= max_cluster)
+        .join(qv, "vec_id")
+        .select("cid", "vec_id", "q")
+    )
+    thresh = int(tau * PAIR_QUANT * PAIR_QUANT)
+    l = members.select(
+        "cid", F.col("vec_id").alias("a"), F.col("q").alias("qa")
+    )
+    r = members.select(
+        "cid", F.col("vec_id").alias("b"), F.col("q").alias("qb")
+    )
+    pairs = (
+        l.join(r, ["cid"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "dq",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("dq") >= F.lit(thresh))
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, checkpoint=checkpoint)
+    return (
+        vectors.select(F.col(id_col).cast("long").alias("vec_id"))
+        .join(comp, F.col("vec_id") == F.col("surface_id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("canonical_id"),
+        )
+    )

@@ -121,7 +121,7 @@ def test_golden_oracle_paths_parameterized_by_sf():
             for name, sql in oracles.items()
             if "parquet_scan" in sql
         }
-        assert len(golden) == 17
+        assert len(golden) == 18
         for name, sql in golden.items():
             m = re.search(r"parquet_scan\(\s*'([^']+)'", sql)
             assert m, name

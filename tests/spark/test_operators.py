@@ -753,3 +753,71 @@ class TestJaccardPrefixJoin:
         got = {(r["a"], r["b"]) for r in
                jaccard_join_prefix(df, n=3, threshold_permille=500).collect()}
         assert got == {(3, 4)}  # <n-word docs have no grams, like the oracle
+
+
+class TestSemanticDedup:
+    """similarity.semantic_dedup — SemDeDup-style cluster-then-compare."""
+
+    @staticmethod
+    def _emb(spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_finds_within_cluster_duplicates(self, spark):
+        from deduce_spark.spark.similarity import semantic_dedup
+
+        # two tight direction groups + one outlier; near-identical
+        # vectors must collapse to the min id, outlier stays itself
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0, 0.0]),
+            (3, [0.998, 0.002, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+            (5, [0.0, 0.999, 0.001, 0.0]),
+            (6, [0.0, 0.0, 0.0, 1.0]),
+        ]
+        out = {
+            r["vec_id"]: r["canonical_id"]
+            for r in semantic_dedup(
+                self._emb(spark, rows), tau=0.9, n_centroids=3
+            ).collect()
+        }
+        assert out[1] == 1 and out[2] == 1 and out[3] == 1
+        assert out[4] == 4 and out[5] == 4
+        assert out[6] == 6
+
+    def test_oversized_cluster_skipped_whole(self, spark):
+        from deduce_spark.spark.similarity import semantic_dedup
+
+        # 8 identical vectors: with max_cluster=4 the (single) cluster is
+        # skipped, so every vector stays its own canonical — the bucket-cap
+        # discipline (no B² explosion from a degenerate region)
+        rows = [(i, [1.0, 0.0]) for i in range(1, 9)]
+        out = semantic_dedup(
+            self._emb(spark, rows), tau=0.5, n_centroids=2, max_cluster=4
+        ).collect()
+        assert all(r["vec_id"] == r["canonical_id"] for r in out)
+
+    def test_matches_sequential_replica_on_fixture(self, spark):
+        import pandas as pd
+
+        from deduce_spark.golden import golden_semantic_dedup
+        from deduce_spark.spark.similarity import semantic_dedup
+
+        emb_pd = pd.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        g = golden_semantic_dedup(emb_pd)
+        s = (
+            semantic_dedup(
+                spark.read.parquet(
+                    "/root/testdata/sf0.001/embeddings.parquet"
+                ),
+                tau=0.35,
+            )
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        assert g.reset_index(drop=True).equals(s.reset_index(drop=True))
+        assert int((g.vec_id != g.canonical_id).sum()) > 0
