@@ -498,19 +498,24 @@ def semantic_dedup(
     1. spherical k-means coarse clustering (:func:`ivf_train` — integer-
        quantized Lloyd, no RNG over data);
     2. one Arrow assignment pass on the NORMALIZED vectors;
-    3. within-cluster pairs with quantized cosine >= tau: both sides
-       floor-quantized at 2^20 (``PAIR_QUANT``), int64 dot (64-dim sum
-       < 2^47), threshold ``int(tau * PAIR_QUANT**2)`` — exact integer
-       comparison in both engines, no float boundary to disagree on;
+    3. within-cluster pair mining as a per-cluster Arrow kernel
+       (``applyInPandas``): both sides floor-quantized at 2^20
+       (``PAIR_QUANT``), the c×c similarity computed as a CHUNKED int64
+       matmul (64-dim products < 2^47 — exact), only pairs with
+       quantized dot >= ``int(tau * PAIR_QUANT**2)`` are EMITTED — the
+       integer threshold means both engines compare the same numbers,
+       and the n² never touches a shuffle (a join formulation would
+       materialize cluster²-row exchanges: measured catastrophic at 1M
+       vectors × 2k-member clusters; the kernel emits only matches);
     4. :func:`deduce_spark.spark.kg.connected_components` over the pair
        graph (small-star/large-star; component label = min id).
 
-    Scale shape: the O(n²) lives strictly inside a cluster, and clusters
-    above ``max_cluster`` are skipped whole (the minhash/LSH bucket-cap
-    discipline — a degenerate embedding region must not emit B² rows; at
-    corpus scale raise ``n_centroids`` so clusters stay small: SemDeDup
-    uses ~50k clusters for 10^8+ docs).  The quantized pair dot is a
-    native zip_with/aggregate fold — JVM-side, no Python in the join."""
+    Scale shape: the O(n²) lives strictly inside a cluster's kernel, in
+    512-row × c int64 blocks (``max_cluster`` 4096 → ≤16 MB per block),
+    and clusters above ``max_cluster`` are skipped whole (the
+    minhash/LSH bucket-cap discipline — a degenerate embedding region
+    must not cost B²; at corpus scale raise ``n_centroids`` so clusters
+    stay small: SemDeDup uses ~50k clusters for 10^8+ docs)."""
     from deduce_spark.spark.kg import connected_components
 
     spark = vectors.sparkSession
@@ -541,25 +546,28 @@ def semantic_dedup(
         .select("cid", "vec_id", "q")
     )
     thresh = int(tau * PAIR_QUANT * PAIR_QUANT)
-    l = members.select(
-        "cid", F.col("vec_id").alias("a"), F.col("q").alias("qa")
-    )
-    r = members.select(
-        "cid", F.col("vec_id").alias("b"), F.col("q").alias("qb")
-    )
-    pairs = (
-        l.join(r, ["cid"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "dq",
-            F.aggregate(
-                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .filter(F.col("dq") >= F.lit(thresh))
-        .select("a", "b")
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.vstack([np.asarray(x, dtype=np.int64) for x in pdf["q"]])
+        order = np.argsort(ids, kind="stable")
+        ids, q = ids[order], q[order]
+        outs_a, outs_b = [], []
+        step = 512  # bounds the block to step x c int64 (<=16 MB at 4096)
+        for s in range(0, len(ids), step):
+            blk = q[s:s + step] @ q.T  # exact int64
+            ri, ci = np.nonzero(blk >= thresh)
+            keep = (ri + s) < ci  # upper triangle only: a < b by id order
+            outs_a.append(ids[ri[keep] + s])
+            outs_b.append(ids[ci[keep]])
+        if outs_a:
+            return pd.DataFrame(
+                {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+            )
+        return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+
+    pairs = members.groupBy("cid").applyInPandas(
+        cluster_pairs, schema="a long, b long"
     )
     comp = connected_components(pairs, checkpoint=checkpoint)
     return (

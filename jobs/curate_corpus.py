@@ -18,11 +18,15 @@ actually flows through, in order:
               never build an unbounded shingle/signature chunk downstream
     dedup     minhash_dedup over kept docs — near-dup clusters collapse
               to their canonical doc
+    semdedup  (optional, --embeddings PATH) SemDeDup pass over the
+              survivors' embeddings — semantic near-dups collapse to
+              their canonical doc; docs without an embedding pass through
     packs     pack_sequences over surviving docs — deterministic
               doc -> training-pack assignment
 
 Outputs under --output (Iceberg-layout tables, see icetable.py):
-    doc_stats/  lm_scores/  verdicts/  kept/  packs/  _lineage/
+    doc_stats/  lm_scores/  verdicts/  kept/  [kept_sem/]  packs/
+    _lineage/
 
 Each stage appends a lineage record AFTER its table commits, carrying
 the run input's content fingerprint (count + bit_xor of xxhash64) and
@@ -79,6 +83,10 @@ def run_job(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_words: int = 1_000_000,
+    embeddings_path: str | None = None,
+    emb_id_col: str = "vec_id",
+    semantic_tau: float = 0.35,
+    semantic_centroids: int = 16,
 ) -> dict:
     from deduce_spark.spark.curation import (
         corpus_filter, decontam_overlap, pack_sequences,
@@ -178,6 +186,41 @@ def run_job(
 
     kept = stage("dedup", build_kept, "kept")
 
+    if embeddings_path is not None:
+        # optional SemDeDup pass after minhash: the modern pipeline stacks
+        # exact -> minhash (lexical) -> semantic (embedding) dedup.  Docs
+        # without an embedding row pass through untouched (no evidence to
+        # drop them on).  NOTE: stage resume keys on the DOCS fingerprint;
+        # swap the output dir when the embeddings table changes.
+        from deduce_spark.spark.similarity import semantic_dedup
+
+        def build_semdedup():
+            emb = spark.read.parquet(embeddings_path).select(
+                F.col(emb_id_col).cast("long").alias("vec_id"),
+                "embedding",
+            )
+            kept_emb = emb.join(
+                kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
+            )
+            clusters = semantic_dedup(
+                kept_emb, tau=semantic_tau, n_centroids=semantic_centroids
+            )
+            survivors = kept.join(
+                clusters.filter("vec_id = canonical_id").select(
+                    F.col("vec_id").alias("doc_id")
+                ),
+                "doc_id",
+                "leftsemi",
+            )
+            no_emb = kept.join(
+                emb.select(F.col("vec_id").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+            return survivors.union(no_emb)
+
+        kept = stage("semdedup", build_semdedup, "kept_sem")
+
     def build_packs():
         toks = kept.join(
             stats.select("doc_id", "ws_tokens"), "doc_id"
@@ -198,6 +241,12 @@ def main(argv=None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--max-doc-words", type=int, default=1_000_000)
+    p.add_argument("--embeddings", default=None, metavar="PATH",
+                   help="optional embeddings parquet keyed like the docs "
+                        "(enables the SemDeDup stage after minhash)")
+    p.add_argument("--emb-id-col", default="vec_id")
+    p.add_argument("--semantic-tau", type=float, default=0.35)
+    p.add_argument("--semantic-centroids", type=int, default=16)
     args = p.parse_args(argv)
     spark = (
         SparkSession.builder.appName("curate_corpus")
@@ -210,6 +259,10 @@ def main(argv=None) -> int:
             resume=not args.no_resume, seq_len=args.seq_len,
             id_col=args.id_col, text_col=args.text_col,
             max_doc_words=args.max_doc_words,
+            embeddings_path=args.embeddings,
+            emb_id_col=args.emb_id_col,
+            semantic_tau=args.semantic_tau,
+            semantic_centroids=args.semantic_centroids,
         )
         print(summary)
         return 0

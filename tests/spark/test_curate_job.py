@@ -145,3 +145,73 @@ class TestMaxDocWordsWiring:
         assert verdicts[9999] == "too_long"
         kept = {r["doc_id"] for r in snap("kept").collect()}
         assert 9999 not in kept and len(kept) >= 20
+
+
+class TestSemanticDedupStage:
+    def test_semantic_stage_drops_embedding_neardups(self, spark, tmp_path):
+        # 20 lexically-distinct keeper docs; docs 1 and 2 share a latent
+        # embedding direction (semantic near-dups minhash cannot see),
+        # doc 20 has no embedding row at all (must pass through).
+        import pandas as pd
+
+        docs = [
+            (i, " ".join(f"w{i}_{j}" for j in range(40)))
+            for i in range(1, 21)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(docs, columns=["doc_id", "text"])
+        )
+        inp = str(tmp_path / "docs.parquet")
+        df.write.parquet(inp)
+
+        def vec(seed, flip=0.0):
+            import numpy as np
+
+            rng = np.random.RandomState(seed)
+            v = rng.randn(16).astype("float32")
+            v[0] += flip
+            return [float(x) for x in v]
+
+        emb_rows = [(1, vec(7)), (2, vec(7, flip=0.01))] + [
+            (i, vec(100 + i)) for i in range(3, 20)
+        ]
+        emb = spark.createDataFrame(
+            pd.DataFrame(emb_rows, columns=["vec_id", "embedding"])
+        )
+        emb_p = str(tmp_path / "emb.parquet")
+        emb.write.parquet(emb_p)
+
+        out = str(tmp_path / "curated")
+        s = run_job(
+            spark, inp, out,
+            embeddings_path=emb_p, semantic_tau=0.9,
+            semantic_centroids=4,
+        )
+        assert "semdedup" in s["stages"]
+        from pathlib import Path
+
+        kept_sem = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(sorted((Path(out) / "kept_sem" / "data")
+                           .glob("snap-*"))[-1])
+            ).collect()
+        }
+        assert 1 in kept_sem and 2 not in kept_sem  # canonical = min id
+        assert 20 in kept_sem  # no embedding -> passes through
+        assert s["stages"]["packs"]["rows"] == len(kept_sem)
+
+    def test_no_embeddings_means_no_stage(self, spark, tmp_path):
+        import pandas as pd
+
+        # ids reach 17 so the lm reference slice (doc_id % 17 == 0) is
+        # non-empty — an empty slice fails fast by design
+        docs = [(i, " ".join(f"w{i}_{j}" for j in range(40)))
+                for i in range(1, 21)]
+        df = spark.createDataFrame(
+            pd.DataFrame(docs, columns=["doc_id", "text"])
+        )
+        inp = str(tmp_path / "docs.parquet")
+        df.write.parquet(inp)
+        s = run_job(spark, inp, str(tmp_path / "curated"))
+        assert "semdedup" not in s["stages"]
