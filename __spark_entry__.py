@@ -1838,7 +1838,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from deduce_spark.spark.weburl import extract_anchors
 
         m = _mentions(spark, sf_dir)
-        surface_map, _nodes = _canon(spark, sf_dir)
+        surface_map, nodes = _canon(spark, sf_dir)
         pers = m.filter(kg.node_type(F.col("tag")) == "PERSOON").filter(
             F.pmod(F.xxhash64("text"), F.lit(7)) == 0
         )
@@ -1853,7 +1853,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"),
         )
         weights = kg.anchor_surface_weights(extract_anchors(crawl), m)
-        before = kg.nodes_from_surface_map(surface_map).select(
+        # "before" IS the canon MV's nodes table (computed without anchor
+        # weights) — reuse the cached MV instead of re-running the window
+        before = nodes.select(
             "entity_id", "type", F.col("canonical_form").alias("before")
         )
         after = kg.nodes_from_surface_map(surface_map, weights).select(

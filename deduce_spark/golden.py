@@ -514,26 +514,8 @@ def golden_ivf(
     )
     raw64 = raw32.astype(np.float64)
 
-    # -- train (ivf_train) --------------------------------------------------
-    init_idx = np.argsort(ids, kind="stable")[:n_centroids]
-    cents = raw64[init_idx].copy()
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    # per-vector norm: Spark's aggregate fold = sequential sum of squares
-    nrm = np.sqrt(np.cumsum(raw64 * raw64, axis=1)[:, -1])
-    vn = raw64 / nrm[:, None]
-    for _ in range(n_iters):
-        cid = ivf_quant_scores(vn, cents).argmax(axis=1)
-        new = cents.copy()
-        for c in range(n_centroids):
-            members = vn[cid == c]
-            if not len(members):
-                continue
-            acc = np.floor(members * IVF_QUANT).astype(np.int64).sum(axis=0)
-            vec = acc.astype(np.float64)
-            n2 = np.linalg.norm(vec)
-            if n2 > 0:
-                new[c] = vec / n2
-        cents = new
+    # -- train (ivf_train) — shared replica ---------------------------------
+    cents, _vn = _golden_kmeans(ids, raw64, n_centroids, n_iters)
 
     # -- index + probe + exact rerank (ivf_topk) ----------------------------
     assigned = ivf_quant_scores(raw64, cents).argmax(axis=1)
@@ -569,28 +551,16 @@ def golden_ivf(
               "cosine": "float64"})
 
 
-def golden_semantic_dedup(
-    emb: pd.DataFrame,
-    tau: float = 0.35,
-    n_centroids: int = 16,
-    n_iters: int = 5,
-    max_cluster: int = 4096,
-) -> pd.DataFrame:
-    """Replica of similarity.semantic_dedup (SemDeDup-style): spherical
-    k-means -> within-cluster quantized-cosine pairs -> min-root
-    components.  Training/assignment mirror golden_ivf; the pair score is
-    int64 (floor(vn * 2^20) per side), so the >= threshold compare is
-    exact in both engines."""
-    from deduce_spark.spark.similarity import (
-        IVF_QUANT, PAIR_QUANT, ivf_quant_scores,
-    )
+def _golden_kmeans(
+    ids: np.ndarray, raw64: np.ndarray, n_centroids: int, n_iters: int
+):
+    """Shared sequential replica of similarity.ivf_train: returns
+    (cents, vn) — the quantized-Lloyd centroids and the normalized
+    vectors (Spark's aggregate-fold norm = sequential cumsum).  Used by
+    BOTH golden_ivf and golden_semantic_dedup so a training-replica fix
+    can never desynchronize the two oracles."""
+    from deduce_spark.spark.similarity import IVF_QUANT, ivf_quant_scores
 
-    ids = emb["vec_id"].astype("int64").to_numpy()
-    raw64 = np.vstack(
-        [np.asarray(v, dtype=np.float32) for v in emb["embedding"]]
-    ).astype(np.float64)
-
-    # train (= golden_ivf's block)
     init_idx = np.argsort(ids, kind="stable")[:n_centroids]
     cents = raw64[init_idx].copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
@@ -609,6 +579,28 @@ def golden_semantic_dedup(
             if n2 > 0:
                 new[c] = vec / n2
         cents = new
+    return cents, vn
+
+
+def golden_semantic_dedup(
+    emb: pd.DataFrame,
+    tau: float = 0.35,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    max_cluster: int = 4096,
+) -> pd.DataFrame:
+    """Replica of similarity.semantic_dedup (SemDeDup-style): spherical
+    k-means -> within-cluster quantized-cosine pairs -> min-root
+    components.  Training/assignment mirror golden_ivf; the pair score is
+    int64 (floor(vn * 2^20) per side), so the >= threshold compare is
+    exact in both engines."""
+    from deduce_spark.spark.similarity import PAIR_QUANT, ivf_quant_scores
+
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    raw64 = np.vstack(
+        [np.asarray(v, dtype=np.float32) for v in emb["embedding"]]
+    ).astype(np.float64)
+    cents, vn = _golden_kmeans(ids, raw64, n_centroids, n_iters)
 
     # assign on the normalized vectors (matches semantic_dedup)
     cid = ivf_quant_scores(vn, cents).argmax(axis=1)

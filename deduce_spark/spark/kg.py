@@ -341,6 +341,7 @@ def canonicalize(
     mentions: DataFrame,
     fuzzy_types: tuple[str, ...] = FUZZY_TYPES,
     anchors: DataFrame | None = None,
+    anchor_weights: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """mentions -> (surface_map, nodes).
 
@@ -359,6 +360,10 @@ def canonicalize(
     canonical form is picked (see :func:`anchor_surface_weights` /
     :func:`nodes_from_surface_map`).  Entity identity (surface_map) is
     NOT affected — anchors name entities, they don't merge them.
+    ``anchor_weights`` passes a PRECOMPUTED (surface, anchor_n) table
+    instead (wins over ``anchors``) — the persisted-table path
+    jobs/build_kg.py uses so incremental folds and compactions keep the
+    anchor-voted canonical forms instead of silently reverting them.
     """
     surf = surfaces(mentions).cache()
     fuzzy = surf.filter(F.col("type").isin(*fuzzy_types))
@@ -372,11 +377,9 @@ def canonicalize(
     ).cache()  # consumed by canon + nodes here AND by the caller's
     # triples() broadcast join — uncached, every consumer re-runs the
     # whole LSH chain (measured 78s -> 31s for the sf0.1 triples query)
-    weights = (
-        anchor_surface_weights(anchors, mentions)
-        if anchors is not None
-        else None
-    )
+    weights = anchor_weights
+    if weights is None and anchors is not None:
+        weights = anchor_surface_weights(anchors, mentions)
     return surface_map, nodes_from_surface_map(surface_map, weights)
 
 
@@ -392,7 +395,11 @@ def anchor_surface_weights(
     output (src_url, dst_url, anchor).  When ``mentions`` is given, only
     anchors whose destination resolves to a crawled page (a url that
     actually produced mentions) count — links into pages we never saw
-    carry no naming evidence for OUR entities.
+    carry no naming evidence for OUR entities.  extract_anchors emits
+    CANONICALIZED destinations by default, so the mention urls are
+    canonicalized too before the semi join — raw crawl urls
+    ('https://www.x.nl/a?utm_source=y') otherwise never match their
+    canonical link-target form and every vote silently drops.
 
     Scale shape: one left-semi join on dst_url + one groupBy on the
     normalized anchor string; both plain shuffles (no broadcast hint —
@@ -400,8 +407,12 @@ def anchor_surface_weights(
     potentially huge, so the hint is left to AQE)."""
     a = anchors
     if mentions is not None:
+        from deduce_spark.spark.weburl import canonicalize_url
+
         a = a.join(
-            mentions.select(F.col("url").alias("dst_url")).distinct(),
+            mentions.select(
+                canonicalize_url(F.col("url")).alias("dst_url")
+            ).distinct(),
             "dst_url",
             "leftsemi",
         )
@@ -810,6 +821,7 @@ def incremental_canonicalize(
     fuzzy_types: tuple[str, ...] = FUZZY_TYPES,
     min_jaccard: float = SURFACE_JACCARD,
     max_bucket: int = 64,
+    anchor_weights: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a batch of NEW mentions into an existing canonicalization
     without recomputing the whole entity graph.
@@ -939,7 +951,7 @@ def incremental_canonicalize(
     new_surf.unpersist()
     novel.unpersist()
     nsigs.unpersist()
-    return updated_sm, nodes_from_surface_map(updated_sm)
+    return updated_sm, nodes_from_surface_map(updated_sm, anchor_weights)
 
 
 # ---------------------------------------------------------------------------
@@ -951,6 +963,7 @@ def compact_canonicalize(
     surface_map: DataFrame,
     fuzzy_types: tuple[str, ...] = FUZZY_TYPES,
     caches: list | None = None,
+    anchor_weights: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Periodic entity-merge compaction over an accumulated surface map.
 
@@ -1028,7 +1041,7 @@ def compact_canonicalize(
     out_sm = new_sm.select(
         "surface_id", "surface", "type", "n_mentions", "entity_id"
     )
-    return out_sm, nodes_from_surface_map(out_sm), id_map
+    return out_sm, nodes_from_surface_map(out_sm, anchor_weights), id_map
 
 
 def remap_triples(triples_df: DataFrame, id_map: DataFrame) -> DataFrame:

@@ -285,7 +285,10 @@ def run_job(
         # only the tiny (surface, anchor_n) aggregate reaches the join
         from deduce_spark.spark.weburl import extract_anchors
 
-        anchors = extract_anchors(spark.read.parquet(input_path))
+        # same layout-aware read as stage A (_read_pages): a bare
+        # read.parquet on an Iceberg-layout table either fails schema
+        # inference or scans superseded snap-* dirs, double-counting
+        anchors = extract_anchors(_read_pages(spark, input_path))
     res = _stage_b(
         spark, out, log, run_id, seq, mentions_table, engine,
         with_cooccurrence, expire_keep, summary, anchors=anchors,
@@ -311,7 +314,12 @@ def _stage_b(
     t0 = time.monotonic()
     link_bc = spark.sparkContext.broadcast(build_link_dicts(engine))
     mentions_all = mentions_table.read(spark)
-    surface_map, nodes = canonicalize(mentions_all, anchors=anchors)
+    weights = None
+    if anchors is not None:
+        from deduce_spark.spark.kg import anchor_surface_weights
+
+        weights = anchor_surface_weights(anchors, mentions_all)
+    surface_map, nodes = canonicalize(mentions_all, anchor_weights=weights)
     nodes = link_scores(nodes, link_bc)
     edges = triples(mentions_all, surface_map, with_cooccurrence=with_cooccurrence)
     edges = salted_repartition(edges, spark.sparkContext.defaultParallelism)
@@ -320,6 +328,14 @@ def _stage_b(
     open_table(spark, str(out / "surface_map")).write(
         surface_map, mode="overwrite", summary={"run_id": run_id, "stage": "kg"}
     )
+    if weights is not None:
+        # persisted so --incremental folds and maintain_kg compactions
+        # keep the anchor-voted canonical forms instead of reverting to
+        # the bare mention-count argmax (a full rebuild refreshes it)
+        open_table(spark, str(out / "anchor_weights")).write(
+            weights, mode="overwrite",
+            summary={"run_id": run_id, "stage": "kg"},
+        )
     nodes_man = open_table(spark, str(out / "nodes")).write(
         nodes, mode="overwrite", summary={"run_id": run_id, "stage": "kg"}
     )
@@ -376,7 +392,14 @@ def _stage_b_incremental(
     t0 = time.monotonic()
     sm_table = open_table(spark, str(out / "surface_map"))
     existing_sm = sm_table.read(spark)
-    updated_sm, nodes = incremental_canonicalize(new_mentions, existing_sm)
+    # keep anchor-voted canonical forms stable across folds: reuse the
+    # persisted weight table when the full build wrote one (new pages'
+    # anchors are folded in on the next full rebuild — documented)
+    aw_table = open_table(spark, str(out / "anchor_weights"))
+    anchor_weights = aw_table.read(spark) if aw_table.exists() else None
+    updated_sm, nodes = incremental_canonicalize(
+        new_mentions, existing_sm, anchor_weights=anchor_weights
+    )
     link_bc = spark.sparkContext.broadcast(build_link_dicts(engine))
     nodes = link_scores(nodes, link_bc)
 

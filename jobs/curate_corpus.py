@@ -195,13 +195,24 @@ def run_job(
         from deduce_spark.spark.similarity import semantic_dedup
 
         def build_semdedup():
-            emb = spark.read.parquet(embeddings_path).select(
-                F.col(emb_id_col).cast("long").alias("vec_id"),
-                "embedding",
+            raw_emb = spark.read.parquet(embeddings_path)
+            key = F.col(emb_id_col)
+            if dict(raw_emb.dtypes).get(emb_id_col) == "string":
+                # url-keyed embeddings: derive the SAME numeric id the
+                # docs path derives (a bare cast('long') on strings is
+                # silently NULL and the join matches nothing)
+                key = F.xxhash64(key)
+            emb = raw_emb.select(
+                key.cast("long").alias("vec_id"), "embedding"
             )
             kept_emb = emb.join(
                 kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
             )
+            if not kept_emb.limit(1).count():
+                # no kept doc has an embedding: nothing to judge —
+                # pass the kept set through rather than crash in
+                # ivf_train on an empty frame
+                return kept
             clusters = semantic_dedup(
                 kept_emb, tau=semantic_tau, n_centroids=semantic_centroids
             )

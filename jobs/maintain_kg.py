@@ -64,8 +64,13 @@ def run_merge_compaction(spark, root: str, engine=None) -> dict:
     if not sm_table.exists():
         return {"skipped": "no surface_map table"}
     held_caches: list = []
+    # anchor-voted canonical forms survive compaction when the build
+    # persisted a weight table (jobs/build_kg.py stage B)
+    aw_table = open_table(spark, str(out / "anchor_weights"))
+    anchor_weights = aw_table.read(spark) if aw_table.exists() else None
     new_sm, new_nodes, id_map = compact_canonicalize(
-        sm_table.read(spark), caches=held_caches
+        sm_table.read(spark), caches=held_caches,
+        anchor_weights=anchor_weights,
     )
     changed = id_map.filter(
         F.col("old_entity_id") != F.col("new_entity_id")

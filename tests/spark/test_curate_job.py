@@ -215,3 +215,53 @@ class TestSemanticDedupStage:
         df.write.parquet(inp)
         s = run_job(spark, inp, str(tmp_path / "curated"))
         assert "semdedup" not in s["stages"]
+
+    def test_url_keyed_embeddings_and_zero_coverage(self, spark, tmp_path):
+        import pandas as pd
+
+        docs = [(f"https://h{i}.nl/p", " ".join(f"w{i}_{j}" for j in range(40)))
+                for i in range(1, 21)]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["url", "text"]))
+        inp = str(tmp_path / "crawl.parquet")
+        df.write.parquet(inp)
+
+        import numpy as np
+
+        def vec(seed):
+            rng = np.random.RandomState(seed)
+            return [float(x) for x in rng.randn(8).astype("float32")]
+
+        # url-keyed embeddings: ids must derive via the SAME xxhash64 the
+        # docs path uses (review fix: a bare cast('long') was NULL)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                [(u, vec(7)) for u, _t in docs[:2]]
+                + [(u, vec(100 + i)) for i, (u, _t) in
+                   enumerate(docs[2:], start=2)],
+                columns=["url", "embedding"],
+            )
+        )
+        emb_p = str(tmp_path / "emb.parquet")
+        emb.write.parquet(emb_p)
+        out = str(tmp_path / "curated")
+        s = run_job(
+            spark, inp, out, id_col="url",
+            embeddings_path=emb_p, emb_id_col="url",
+            semantic_tau=0.9, semantic_centroids=4,
+        )
+        assert "semdedup" in s["stages"]
+        # the two identical-embedding docs collapsed to one
+        assert (s["stages"]["semdedup"]["rows"]
+                == s["stages"]["dedup"]["rows"] - 1)
+
+        # embeddings that cover NO kept doc: stage passes kept through
+        emb_none = spark.createDataFrame(
+            pd.DataFrame([(999999, vec(1))], columns=["vec_id", "embedding"])
+        )
+        emb_np = str(tmp_path / "emb_none.parquet")
+        emb_none.write.parquet(emb_np)
+        out2 = str(tmp_path / "curated2")
+        s2 = run_job(spark, inp, out2, id_col="url",
+                     embeddings_path=emb_np)
+        assert (s2["stages"]["semdedup"]["rows"]
+                == s2["stages"]["dedup"]["rows"])

@@ -553,3 +553,20 @@ def test_anchor_evidence_flips_on_committed_fixture():
         df = pd.read_parquet(root / sf / "kg_anchor_canon.parquet")
         assert int(df["n_flipped"].sum()) >= 1, sf
         assert int(df["n_entities"].sum()) > 100, sf
+
+    def test_weights_match_canonicalized_dst(self, spark):
+        # review fix: real crawls store RAW urls in mentions while
+        # extract_anchors canonicalizes link targets — the semi join must
+        # canonicalize the mention side too or every vote drops
+        anchors = spark.createDataFrame(
+            [("s1", "https://site.nl/a", "jan jansen")],
+            "src_url string, dst_url string, anchor string",
+        )
+        m = spark.createDataFrame(
+            [("HTTPS://WWW.Site.nl:443/a?utm_source=x", "Jan Jansen",
+              "persoon")],
+            "url string, text string, tag string",
+        )
+        w = {r["surface"]: r["anchor_n"]
+             for r in kg.anchor_surface_weights(anchors, m).collect()}
+        assert w == {"jan jansen": 1}

@@ -479,3 +479,53 @@ def test_anchor_evidence_through_job(spark, engine, tmp_path):
     assert "jan van der bakker" in without
     assert "jan van der bakkers" in with_anchor
     assert with_anchor != without
+
+
+def test_incremental_fold_keeps_anchor_voted_canonicals(
+    spark, engine, tmp_path
+):
+    # review fix: an --incremental fold (or compaction) used to rebuild
+    # nodes WITHOUT anchor weights, silently reverting every anchor-voted
+    # canonical form.  The full build now persists the weight table and
+    # the fold reuses it.
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    a_sent = ("<p>De redactie sprak met Jan van der Bakker, 40 jaar oud, "
+              "uit Delft.</p>")
+    b_sent = ("<p>De redactie sprak met Jan van der Bakkers, 41 jaar oud, "
+              "uit Delft.</p>")
+    anchor = ('<!-- <a href="https://t.nl/p3">Jan van der Bakkers</a> -->'
+              * 3)
+    rows = []
+    for i in range(4):
+        body = (b_sent if i == 3 else a_sent) + anchor
+        rows.append((f"https://t.nl/p{i}", ts,
+                     f"<html><body>{body}</body></html>".encode(), "nl"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+    out = tmp_path / "kg"
+    run_job(spark, str(src), str(out), n_parts=2, engine=engine)
+    assert (out / "anchor_weights" / "metadata").exists()
+
+    # fold one new unrelated page incrementally
+    extra = spark.createDataFrame(
+        [("https://t.nl/p9", ts,
+          b"<html><body><p>De redactie sprak met Maria Visser, 30 jaar "
+          b"oud, uit Leiden.</p></body></html>", "nl")],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    src2 = tmp_path / "pages2"
+    pages.union(extra).write.parquet(str(src2))
+    s2 = run_job(spark, str(src2), str(out), n_parts=2, engine=engine,
+                 incremental=True)
+    assert s2.get("incremental") or s2.get("parts_folded") is not None
+    nodes = IceTable(out / "nodes").read(spark)
+    forms = {
+        r["canonical_form"]
+        for r in nodes.filter(F.col("type") == "PERSOON").collect()
+    }
+    assert "jan van der bakkers" in forms  # anchor vote survived the fold
