@@ -465,6 +465,8 @@ _DEMOTED_ORDER = [
     "anchor_text_by_host", "hits_link_hosts", "lm_quality_score",
     "hll_words_by_lang", "doclen_log2_hist", "lpa_link_hosts",
     "events_cohort_retention", "bfs_link_hosts",
+    # round-6 additions
+    "dsir_weights_docs",
 ]
 
 
@@ -912,6 +914,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bigram_lm_score(docs, docs.filter(F.col("doc_id") % 7 == 0))
 
     q["lm_quality_score"] = lm_quality_score
+
+    def dsir_weights_docs(spark, sf_dir):
+        # DSIR importance weights (Xie et al. 2023): hashed-bigram
+        # bucket models for a trusted target slice (doc_id % 5 == 0
+        # stands in for the curated corpus) vs the raw pool; Q10
+        # fixed-point log-ratio weight per doc, exact both engines
+        from deduce_spark.spark.dsir import dsir_weights
+
+        docs = _docs(spark, sf_dir)
+        return dsir_weights(docs, docs.filter(F.col("doc_id") % 5 == 0))
+
+    q["dsir_weights_docs"] = dsir_weights_docs
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2267,6 +2281,15 @@ def _lm_score_oracle() -> str:
     )
 
 
+def _dsir_oracle() -> str:
+    from deduce_spark.spark.dsir import dsir_weights_oracle_sql
+
+    return dsir_weights_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT text FROM documents WHERE doc_id % 5 = 0",
+    )
+
+
 def _cms_oracle() -> str:
     from deduce_spark.spark.sketches import (
         cms_oracle_sql, cms_query_oracle_sql,
@@ -3080,6 +3103,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "bloom_decontam_words": _bloom_oracle(),
         "hits_link_hosts": _hits_oracle(),
         "lm_quality_score": _lm_score_oracle(),
+        "dsir_weights_docs": _dsir_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),
