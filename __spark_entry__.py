@@ -466,7 +466,7 @@ _DEMOTED_ORDER = [
     "hll_words_by_lang", "doclen_log2_hist", "lpa_link_hosts",
     "events_cohort_retention", "bfs_link_hosts",
     # round-6 additions
-    "dsir_weights_docs",
+    "dsir_weights_docs", "frontier_waves_hosts",
 ]
 
 
@@ -926,6 +926,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_weights(docs, docs.filter(F.col("doc_id") % 5 == 0))
 
     q["dsir_weights_docs"] = dsir_weights_docs
+
+    def frontier_waves_hosts(spark, sf_dir):
+        # politeness-scheduled crawl-frontier waves: every host fetches
+        # at most per_host_cap urls per wave; skew-safe two-phase rank
+        # (hot hosts fan out over 256 hash buckets, no single-task
+        # per-host window) — the scheduler feeding S5's page source
+        from deduce_spark.spark.weburl import frontier_waves
+
+        urls = _link_pages(spark, sf_dir).select("url")
+        return frontier_waves(urls, per_host_cap=50)
+
+    q["frontier_waves_hosts"] = frontier_waves_hosts
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2290,6 +2302,14 @@ def _dsir_oracle() -> str:
     )
 
 
+def _frontier_oracle() -> str:
+    from deduce_spark.spark.weburl import frontier_waves_oracle_sql
+
+    return frontier_waves_oracle_sql(
+        f"SELECT url FROM ({_LINK_PAGES_SQL})", per_host_cap=50
+    )
+
+
 def _cms_oracle() -> str:
     from deduce_spark.spark.sketches import (
         cms_oracle_sql, cms_query_oracle_sql,
@@ -3104,6 +3124,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "hits_link_hosts": _hits_oracle(),
         "lm_quality_score": _lm_score_oracle(),
         "dsir_weights_docs": _dsir_oracle(),
+        "frontier_waves_hosts": _frontier_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),

@@ -19,7 +19,7 @@ Canonical form applied by :func:`canonicalize_url`:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
@@ -360,4 +360,93 @@ def anchor_extract_sql(
             FROM {from_sql}
         )
         WHERE {href} IS NOT NULL
+    """
+
+
+def frontier_waves(
+    urls: DataFrame,
+    per_host_cap: int,
+    url_col: str = "url",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Politeness-scheduled crawl-frontier assignment: (url, host, wave)
+    with at most ``per_host_cap`` urls of any host per wave.
+
+    A crawler must rate-limit per host, so the frontier is fetched in
+    WAVES: wave w holds each host's urls ranked [w*cap, (w+1)*cap).  The
+    rank is deterministic (a re-run or resumed scheduler reproduces the
+    exact same waves — same discipline as the curation samplers).
+
+    Scale shape: the naive rank is ``row_number() OVER (PARTITION BY
+    host ORDER BY url)`` — ONE task per host, and a crawl frontier is
+    exactly the workload where one host can hold 10^7+ urls (the skew
+    this operator exists to manage).  Instead the exact_ntile /
+    token_budget_mix two-phase form: a portable hash splits every host
+    into ``n_buckets`` sub-groups, per-(host, bucket) counts (a tiny
+    <= hosts x n_buckets table) turn into per-host running offsets with
+    a window over n_buckets rows per host, and the global rank is
+    offset + rank within the (host, bucket) sub-group — hot hosts fan
+    out n_buckets-wide, no unbounded single-task window.  Rank order is
+    (bucket, url) within each host; every quantity is a non-negative
+    integer so Spark ``DIV`` and DuckDB ``//`` agree.
+    """
+    host = url_host(F.col(url_col)).alias("host")
+    bucketed = urls.select(
+        F.col(url_col).alias("url"),
+        host,
+        F.expr(
+            f"CAST(conv(substr(md5({url_col}), 1, 8), 16, 10) AS BIGINT)"
+            f" % {n_buckets}"
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("host", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # running offset of each (host, bucket): rows of the SAME host in
+    # strictly smaller buckets — window input is <= n_buckets rows/host
+    w = (
+        Window.partitionBy("host")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "host", "bucket",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("off"),
+    )
+    in_bucket = Window.partitionBy("host", "bucket").orderBy("url")
+    return (
+        bucketed.join(offsets, ["host", "bucket"])
+        .select(
+            "url", "host",
+            (F.col("off") + F.row_number().over(in_bucket) - 1).alias("rk"),
+        )
+        .select(
+            "url", "host",
+            F.expr(f"rk DIV {per_host_cap}").cast("long").alias("wave"),
+        )
+    )
+
+
+def frontier_waves_oracle_sql(
+    urls_sql: str,
+    per_host_cap: int,
+    url_col: str = "url",
+    n_buckets: int = 256,
+    host_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`frontier_waves` (the rank collapses to one
+    window — the oracle states the SEMANTICS; the Spark form is the
+    skew-safe physical strategy).  ``host_sql`` must be the DuckDB twin
+    of weburl.url_host applied to ``url_col`` (url_host_oracle_sql)."""
+    host = host_sql if host_sql is not None else url_host_oracle_sql(url_col)
+    return f"""
+        SELECT url, host,
+               ((ROW_NUMBER() OVER (PARTITION BY host ORDER BY bucket, url)
+                 - 1) // {per_host_cap})::BIGINT AS wave
+        FROM (
+            SELECT {url_col} AS url, {host} AS host,
+                   ('0x' || substr(md5({url_col}), 1, 8))::BIGINT
+                       % {n_buckets} AS bucket
+            FROM ({urls_sql})
+        )
     """
