@@ -466,7 +466,7 @@ _DEMOTED_ORDER = [
     "hll_words_by_lang", "doclen_log2_hist", "lpa_link_hosts",
     "events_cohort_retention", "bfs_link_hosts",
     # round-6 additions
-    "dsir_weights_docs", "frontier_waves_hosts",
+    "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
 ]
 
 
@@ -938,6 +938,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frontier_waves(urls, per_host_cap=50)
 
     q["frontier_waves_hosts"] = frontier_waves_hosts
+
+    def boilerplate_clean_hosts(spark, sf_dir):
+        # per-host boilerplate stripping (CCNet/trafilatura template
+        # removal): nav/footer lines shared by >=30% of a host's pages
+        # are removed; the 1/3-frequency PROMO line sits right at the
+        # bar and the %11 trailing newline exercises empty-line
+        # semantics (kept: 91 permille < 300)
+        from deduce_spark.spark.textstats import remove_boilerplate
+
+        h = (F.col("doc_id") % 7).cast("string")
+        pages = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.lit("h"), h).alias("host"),
+            F.concat(
+                F.lit("NAV menu h"), h, F.lit("\n"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("PROMO subscribe\n"))
+                .otherwise(F.lit("")),
+                F.col("text"),
+                F.lit("\nCOPYRIGHT h"), h,
+                F.when(F.col("doc_id") % 11 == 0, F.lit("\n"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return remove_boilerplate(pages).select(
+            "doc_id", "host", "clean_text", "n_removed_lines"
+        )
+
+    q["boilerplate_clean_hosts"] = boilerplate_clean_hosts
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2310,6 +2338,22 @@ def _frontier_oracle() -> str:
     )
 
 
+def _boilerplate_oracle() -> str:
+    from deduce_spark.spark.textstats import remove_boilerplate_oracle_sql
+
+    src = """
+        SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+               'NAV menu h' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN 'PROMO subscribe' || chr(10) ELSE '' END
+               || text || chr(10)
+               || 'COPYRIGHT h' || CAST(doc_id % 7 AS VARCHAR)
+               || CASE WHEN doc_id % 11 = 0 THEN chr(10) ELSE '' END AS text
+        FROM documents
+    """
+    return remove_boilerplate_oracle_sql(src, out_cols="p.doc_id, p.host")
+
+
 def _cms_oracle() -> str:
     from deduce_spark.spark.sketches import (
         cms_oracle_sql, cms_query_oracle_sql,
@@ -3125,6 +3169,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "lm_quality_score": _lm_score_oracle(),
         "dsir_weights_docs": _dsir_oracle(),
         "frontier_waves_hosts": _frontier_oracle(),
+        "boilerplate_clean_hosts": _boilerplate_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),
