@@ -467,6 +467,7 @@ _DEMOTED_ORDER = [
     "events_cohort_retention", "bfs_link_hosts",
     # round-6 additions
     "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
+    "warc_roundtrip_files",
 ]
 
 
@@ -966,6 +967,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["boilerplate_clean_hosts"] = boilerplate_clean_hosts
+
+    def warc_roundtrip_files(spark, sf_dir):
+        # Common-Crawl-style WARC source: pack pages into 8 archive
+        # blobs with native expressions, then re-ingest through the
+        # length-delimited Arrow parser (the production path).  Bodies
+        # exercise the three parse landmines: empty (%101), containing
+        # the record magic (%53 — length-delimited must not split), and
+        # multibyte (%17 — Content-Length counts BYTES).  The oracle
+        # recomputes every record's offset/length/md5 from source rows.
+        from deduce_spark.spark.warc import pack_warc_files, parse_warc_records
+
+        d = F.col("doc_id")
+        pages = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://w"), (d % 9).cast("string"),
+                     F.lit(".nl/p/"), d.cast("string")).alias("url"),
+            F.concat(F.lit("2026-08-"),
+                     F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                     F.lit("T12:00:00Z")).alias("ts"),
+            F.when(d % 101 == 0, F.lit(""))
+            .when(d % 53 == 0,
+                  F.concat(F.lit("WARC/1.0\r\n"), F.col("text")))
+            .when(d % 17 == 0, F.concat(F.col("text"), F.lit(" café🍰")))
+            .otherwise(F.col("text")).alias("body"),
+        )
+        return parse_warc_records(pack_warc_files(pages, n_files=8)).orderBy(
+            "url"
+        )
+
+    q["warc_roundtrip_files"] = warc_roundtrip_files
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2330,6 +2360,26 @@ def _dsir_oracle() -> str:
     )
 
 
+def _warc_oracle() -> str:
+    from deduce_spark.spark.warc import warc_roundtrip_oracle_sql
+
+    crlf = "chr(13) || chr(10)"
+    pages = f"""
+        SELECT 'https://w' || CAST(doc_id % 9 AS VARCHAR)
+                   || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   || 'T12:00:00Z' AS ts,
+               CASE WHEN doc_id % 101 = 0 THEN ''
+                    WHEN doc_id % 53 = 0 THEN 'WARC/1.0' || {crlf} || text
+                    WHEN doc_id % 17 = 0 THEN text || ' café🍰'
+                    ELSE text END AS body
+        FROM documents
+    """
+    return (
+        warc_roundtrip_oracle_sql(pages, n_files=8) + " ORDER BY url"
+    )
+
+
 def _frontier_oracle() -> str:
     from deduce_spark.spark.weburl import frontier_waves_oracle_sql
 
@@ -3170,6 +3220,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "dsir_weights_docs": _dsir_oracle(),
         "frontier_waves_hosts": _frontier_oracle(),
         "boilerplate_clean_hosts": _boilerplate_oracle(),
+        "warc_roundtrip_files": _warc_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),
