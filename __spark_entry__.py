@@ -467,7 +467,7 @@ _DEMOTED_ORDER = [
     "events_cohort_retention", "bfs_link_hosts",
     # round-6 additions
     "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
-    "warc_roundtrip_files",
+    "warc_roundtrip_files", "recrawl_schedule_urls", "robots_policy_urls",
 ]
 
 
@@ -996,6 +996,62 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["warc_roundtrip_files"] = warc_roundtrip_files
+
+    def recrawl_schedule_urls(spark, sf_dir):
+        # adaptive-revisit (AIMD) crawl scheduling over synthetic fetch
+        # histories: halve the revisit interval on change, double on
+        # no-change, clamped to [1000, 16000]; %5<2 flag density yields
+        # change runs (min clamp) AND no-change runs (max clamp), %47
+        # the empty-history base case.  Per-row integer fold — zero
+        # shuffle; feeds frontier_waves
+        from deduce_spark.spark.weburl import recrawl_schedule
+
+        d = F.col("doc_id")
+        hist = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://w"), (d % 9).cast("string"),
+                     F.lit(".nl/p/"), d.cast("string")).alias("url"),
+            F.expr(
+                "CASE WHEN doc_id % 47 = 0 THEN CAST(array() AS ARRAY<INT>)"
+                " ELSE transform(sequence(1, CAST(doc_id % 6 + 1 AS INT)),"
+                " i -> CASE WHEN (doc_id * 31 + i) % 5 < 2"
+                " THEN 1 ELSE 0 END) END"
+            ).alias("changed_flags"),
+        )
+        return recrawl_schedule(hist).orderBy("url")
+
+    q["recrawl_schedule_urls"] = recrawl_schedule_urls
+
+    def robots_policy_urls(spark, sf_dir):
+        # robots.txt parse + RFC 9309 longest-prefix-match policy over
+        # the crawl's url space: k%3==0 hosts disallow /p/ but allow
+        # /p/1 (longest-match flips doc_ids starting with 1), k%3==1
+        # hosts allow /p/ but disallow /p/7, k%3==2 hosts have no '*'
+        # group at all (default-allow path)
+        from deduce_spark.spark.weburl import parse_robots, robots_allowed
+
+        d = F.col("doc_id")
+        urls = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://src"), (d % 9).cast("string"),
+                     F.lit(".nl/p/"), d.cast("string")).alias("url")
+        )
+        k = F.col("k")
+        robots = (
+            _docs(spark, sf_dir).select((d % 9).alias("k")).distinct()
+            .select(
+                F.concat(F.lit("src"), k.cast("string"),
+                         F.lit(".nl")).alias("host"),
+                F.when(k % 3 == 0, F.lit(
+                    "User-agent: *\nDisallow: /p/\nAllow: /p/1\n"
+                    "User-agent: badbot\nDisallow: /"))
+                .when(k % 3 == 1, F.lit(
+                    "User-agent: *\nAllow: /p/\nDisallow: /p/7\n# note"))
+                .otherwise(F.lit("User-agent: badbot\nDisallow: /"))
+                .alias("robots_txt"),
+            )
+        )
+        return robots_allowed(urls, parse_robots(robots)).orderBy("url")
+
+    q["robots_policy_urls"] = robots_policy_urls
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2380,6 +2436,48 @@ def _warc_oracle() -> str:
     )
 
 
+def _recrawl_oracle() -> str:
+    from deduce_spark.spark.weburl import recrawl_schedule_oracle_sql
+
+    hist = """
+        SELECT 'https://w' || CAST(doc_id % 9 AS VARCHAR)
+                   || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 47 = 0 THEN []::INTEGER[]
+                    ELSE list_transform(
+                        generate_series(1, (doc_id % 6 + 1)::BIGINT),
+                        i -> CASE WHEN (doc_id * 31 + i) % 5 < 2
+                             THEN 1 ELSE 0 END)
+               END AS changed_flags
+        FROM documents
+    """
+    return recrawl_schedule_oracle_sql(hist) + " ORDER BY url"
+
+
+def _robots_oracle() -> str:
+    from deduce_spark.spark.weburl import robots_allowed_oracle_sql
+
+    nl = "chr(10)"
+    urls = """
+        SELECT 'https://src' || CAST(doc_id % 9 AS VARCHAR)
+               || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    """
+    robots = f"""
+        SELECT 'src' || CAST(k AS VARCHAR) || '.nl' AS host,
+               CASE WHEN k % 3 = 0 THEN
+                        'User-agent: *' || {nl} || 'Disallow: /p/' || {nl}
+                        || 'Allow: /p/1' || {nl} || 'User-agent: badbot'
+                        || {nl} || 'Disallow: /'
+                    WHEN k % 3 = 1 THEN
+                        'User-agent: *' || {nl} || 'Allow: /p/' || {nl}
+                        || 'Disallow: /p/7' || {nl} || '# note'
+                    ELSE 'User-agent: badbot' || {nl} || 'Disallow: /'
+               END AS robots_txt
+        FROM (SELECT DISTINCT doc_id % 9 AS k FROM documents)
+    """
+    return robots_allowed_oracle_sql(urls, robots) + " ORDER BY url"
+
+
 def _frontier_oracle() -> str:
     from deduce_spark.spark.weburl import frontier_waves_oracle_sql
 
@@ -3221,6 +3319,8 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "frontier_waves_hosts": _frontier_oracle(),
         "boilerplate_clean_hosts": _boilerplate_oracle(),
         "warc_roundtrip_files": _warc_oracle(),
+        "recrawl_schedule_urls": _recrawl_oracle(),
+        "robots_policy_urls": _robots_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),

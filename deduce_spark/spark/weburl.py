@@ -427,6 +427,273 @@ def frontier_waves(
     )
 
 
+def recrawl_schedule(
+    history: DataFrame,
+    base_interval: int = 4000,
+    min_interval: int = 1000,
+    max_interval: int = 16000,
+    url_col: str = "url",
+    flags_col: str = "changed_flags",
+) -> DataFrame:
+    """Adaptive-revisit crawl scheduling (AIMD, the Heritrix
+    wait-factor / Cho & Garcia-Molina revisit-policy shape): fold each
+    url's fetch history (``changed_flags``: 1 = content changed at that
+    fetch, 0 = unchanged) into the next revisit interval — halve on
+    change (the page is hot), double on no-change (back off), clamped
+    to [min_interval, max_interval].  Output:
+    ``(url, n_fetches, n_changes, next_interval)``; an empty history
+    keeps ``base_interval``.  The result is exactly what feeds
+    :func:`frontier_waves`: urls due sooner land in earlier waves.
+
+    Scale shape: a per-row integer fold via the ``aggregate``
+    higher-order function — zero shuffle, zero Python, embarrassingly
+    parallel over 10^12 urls.  All quantities are non-negative integers
+    (Spark ``DIV`` == DuckDB ``//``), so the DuckDB ``list_reduce`` twin
+    (:func:`recrawl_schedule_oracle_sql`) is exact."""
+    fold = (
+        f"aggregate({flags_col}, CAST({base_interval} AS BIGINT), "
+        f"(acc, x) -> CASE WHEN x = 1 "
+        f"THEN greatest(CAST({min_interval} AS BIGINT), acc DIV 2) "
+        f"ELSE least(CAST({max_interval} AS BIGINT), acc * 2) END)"
+    )
+    return history.select(
+        F.col(url_col).alias("url"),
+        F.size(F.col(flags_col)).cast("long").alias("n_fetches"),
+        F.expr(
+            f"CAST(aggregate({flags_col}, 0, (a, x) -> a + x) AS BIGINT)"
+        ).alias("n_changes"),
+        F.expr(fold).alias("next_interval"),
+    )
+
+
+def recrawl_schedule_oracle_sql(
+    history_sql: str,
+    base_interval: int = 4000,
+    min_interval: int = 1000,
+    max_interval: int = 16000,
+    url_col: str = "url",
+    flags_col: str = "changed_flags",
+) -> str:
+    """DuckDB twin of :func:`recrawl_schedule`.  ``list_reduce`` seeds
+    from the list's first element, so the fold prepends the base
+    interval (the bpe.py list_reduce discipline); flags are cast to
+    BIGINT so the lambda's CASE arms unify types."""
+    fold = (
+        f"list_reduce(list_prepend(CAST({base_interval} AS BIGINT), "
+        f"list_transform({flags_col}, f -> CAST(f AS BIGINT))), "
+        f"(acc, x) -> CASE WHEN x = 1 "
+        f"THEN greatest(CAST({min_interval} AS BIGINT), acc // 2) "
+        f"ELSE least(CAST({max_interval} AS BIGINT), acc * 2) END)"
+    )
+    return f"""
+        SELECT {url_col} AS url,
+               len({flags_col})::BIGINT AS n_fetches,
+               COALESCE(list_sum({flags_col}), 0)::BIGINT AS n_changes,
+               {fold}::BIGINT AS next_interval
+        FROM ({history_sql})
+    """
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into rule rows ``(host, agent, allow,
+    prefix)`` — the crawl-side policy companion to
+    :func:`frontier_waves` / :func:`recrawl_schedule`.
+
+    RFC 9309 subset (documented-honesty, like the href grammar):
+    ``User-agent`` / ``Allow`` / ``Disallow`` directives
+    (case-insensitive), ``#`` comments stripped, each rule assigned to
+    the MOST RECENT preceding User-agent line (multi-agent groups
+    collapse to their last agent), empty-pattern rules dropped (the RFC
+    says an empty pattern matches nothing), no ``*``/``$`` wildcards.
+
+    Scale shape: split + posexplode + regexp — native end to end.  The
+    group-assignment window is per host over one file's LINES; the RFC
+    caps robots.txt at 500 KiB, so the window input is bounded by spec,
+    not by data."""
+    line_no = (F.col("pos") + 1).alias("ln")
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        line_no,
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    low = F.lower(F.col("line"))
+    tagged = lines.select(
+        "host",
+        "ln",
+        F.when(
+            low.startswith("user-agent:"),
+            F.lower(F.trim(F.expr("substr(line, 12)"))),
+        ).alias("ua"),
+        F.when(low.startswith("allow:"), F.lit(1))
+        .when(low.startswith("disallow:"), F.lit(0))
+        .cast("int")
+        .alias("allow"),
+        F.when(low.startswith("allow:"), F.trim(F.expr("substr(line, 7)")))
+        .when(
+            low.startswith("disallow:"), F.trim(F.expr("substr(line, 10)"))
+        )
+        .alias("prefix"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.select(
+            "host",
+            F.last("ua", ignorenulls=True).over(w).alias("agent"),
+            "allow",
+            "prefix",
+        )
+        .filter(F.col("allow").isNotNull() & (F.col("prefix") != ""))
+        .filter(F.col("agent").isNotNull())
+    )
+
+
+# path+query of a url (everything between authority and fragment); the
+# robots match target.  '' (no path) matches as '/'.
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Evaluate robots rules against urls: ``(url, host, allowed,
+    rule_prefix)`` with RFC 9309 precedence — the LONGEST matching
+    prefix wins; on a length tie ``Allow`` beats ``Disallow``; a url
+    with no matching rule (or no rules for its host) is allowed.
+
+    ``rules`` is :func:`parse_robots` output; only the group for
+    ``agent`` (exact match after lowercasing) applies.
+
+    Scale shape: one equi-join urls⋈rules on host with NO broadcast
+    hint — per-host rule sets are spec-bounded tiny, so Catalyst
+    broadcasts while small and degrades to a shuffled hash join if a
+    rules corpus outgrows the threshold (the webgraph
+    broadcast_tables discipline).  The winner is one map-combinable
+    ``max(struct(prefix_len, allow, prefix))`` per url — struct
+    ordering gives the RFC precedence for free, no window."""
+    hosted = urls.select(
+        F.col(url_col).alias("url"),
+        url_host(F.col(url_col)).alias("host"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col(url_col), _URL_PATH_RE, 1), F.lit("")
+            ),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    applicable = rules.filter(F.col("agent") == agent.lower()).select(
+        F.col("host").alias("r_host"), "allow", "prefix"
+    )
+    matched = hosted.join(
+        applicable,
+        (hosted["host"] == applicable["r_host"])
+        & hosted["path"].startswith(applicable["prefix"]),
+    )
+    winner = matched.groupBy("url").agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("plen"),
+                F.col("allow").alias("allow"),
+                F.col("prefix").alias("prefix"),
+            )
+        ).alias("w")
+    )
+    return hosted.join(winner, "url", "left").select(
+        "url",
+        "host",
+        F.coalesce(F.col("w.allow"), F.lit(1)).cast("int").alias("allowed"),
+        F.coalesce(F.col("w.prefix"), F.lit("")).alias("rule_prefix"),
+    )
+
+
+def robots_allowed_oracle_sql(
+    urls_sql: str,
+    robots_sql: str,
+    agent: str = "*",
+    url_col: str = "url",
+    host_sql: str | None = None,
+) -> str:
+    """DuckDB twin of ``robots_allowed(urls, parse_robots(robots))``.
+    ``robots_sql`` must yield (host, robots_txt); ``host_sql`` the
+    url_host twin over ``url_col`` (url_host_oracle_sql default)."""
+    host = host_sql if host_sql is not None else url_host_oracle_sql(url_col)
+    agent_lit = agent.lower().replace("'", "''")
+    return f"""
+        WITH lines AS (
+            SELECT host, pair[2]::BIGINT AS ln,
+                   trim(regexp_replace(pair[1]::VARCHAR, '#.*$', '')) AS line
+            FROM (
+                SELECT host,
+                       unnest(list_zip(
+                           string_split(robots_txt, chr(10)),
+                           generate_series(
+                               1, len(string_split(robots_txt, chr(10))))
+                       )) AS pair
+                FROM ({robots_sql})
+            )
+        ),
+        tagged AS (
+            SELECT host, ln,
+                   CASE WHEN lower(line) LIKE 'user-agent:%'
+                        THEN lower(trim(substr(line, 12))) END AS ua,
+                   CASE WHEN lower(line) LIKE 'allow:%' THEN 1
+                        WHEN lower(line) LIKE 'disallow:%' THEN 0
+                   END AS allow,
+                   CASE WHEN lower(line) LIKE 'allow:%'
+                        THEN trim(substr(line, 7))
+                        WHEN lower(line) LIKE 'disallow:%'
+                        THEN trim(substr(line, 10)) END AS prefix
+            FROM lines
+        ),
+        rules AS (
+            SELECT host,
+                   LAST_VALUE(ua IGNORE NULLS) OVER (
+                       PARTITION BY host ORDER BY ln
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS agent,
+                   allow, prefix
+            FROM tagged
+            QUALIFY allow IS NOT NULL AND prefix <> ''
+                    AND agent IS NOT NULL AND agent = '{agent_lit}'
+        ),
+        hosted AS (
+            SELECT {url_col} AS url, {host} AS host,
+                   COALESCE(NULLIF(regexp_extract({url_col},
+                       '{_URL_PATH_RE}', 1), ''), '/') AS path
+            FROM ({urls_sql})
+        ),
+        winner AS (
+            SELECT url,
+                   max(struct_pack(
+                       plen := length(prefix),
+                       allow := allow,
+                       prefix := prefix)) AS w
+            FROM hosted u JOIN rules r
+              ON u.host = r.host AND starts_with(u.path, r.prefix)
+            GROUP BY url
+        )
+        SELECT url, host, allowed, rule_prefix FROM (
+            SELECT h.url AS url, h.host AS host,
+                   COALESCE(w.w.allow, 1)::INT AS allowed,
+                   COALESCE(w.w.prefix, '') AS rule_prefix
+            FROM hosted h LEFT JOIN winner w ON h.url = w.url
+        )
+    """
+
+
 def frontier_waves_oracle_sql(
     urls_sql: str,
     per_host_cap: int,
