@@ -468,6 +468,7 @@ _DEMOTED_ORDER = [
     # round-6 additions
     "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
     "warc_roundtrip_files", "recrawl_schedule_urls", "robots_policy_urls",
+    "pmi_collocations_docs", "crawl_delta_snapshots",
 ]
 
 
@@ -1052,6 +1053,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return robots_allowed(urls, parse_robots(robots)).orderBy("url")
 
     q["robots_policy_urls"] = robots_policy_urls
+
+    def pmi_collocations_docs(spark, sf_dir):
+        # Church & Hanks PMI collocations over the corpus — exact Q10
+        # fixed-point log2 terms (lmscore plog2 discipline), so both
+        # engines produce the identical integer ranking
+        from deduce_spark.spark.colloc import pmi_collocations
+
+        return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=25)
+
+    q["pmi_collocations_docs"] = pmi_collocations_docs
+
+    def crawl_delta_snapshots(spark, sf_dir):
+        # two-snapshot crawl delta: %13 urls vanish (deleted), %7 texts
+        # get a content edit (changed), %17 urls appear under /new
+        # (added) — the change signal feeding recrawl_schedule
+        from deduce_spark.spark.weburl import crawl_delta
+
+        d = F.col("doc_id")
+        url = F.concat(F.lit("https://w"), (d % 9).cast("string"),
+                       F.lit(".nl/p/"), d.cast("string"))
+        docs = _docs(spark, sf_dir)
+        old = docs.select(url.alias("url"), F.md5("text").alias("digest"))
+        new = docs.filter(d % 13 != 0).select(
+            url.alias("url"),
+            F.md5(
+                F.when(d % 7 == 0, F.concat(F.col("text"), F.lit("x")))
+                .otherwise(F.col("text"))
+            ).alias("digest"),
+        ).unionAll(
+            docs.filter(d % 17 == 0).select(
+                F.concat(url, F.lit("/new")).alias("url"),
+                F.md5("text").alias("digest"),
+            )
+        )
+        return crawl_delta(old, new).orderBy("url")
+
+    q["crawl_delta_snapshots"] = crawl_delta_snapshots
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2478,6 +2516,32 @@ def _robots_oracle() -> str:
     return robots_allowed_oracle_sql(urls, robots) + " ORDER BY url"
 
 
+def _pmi_oracle() -> str:
+    from deduce_spark.spark.colloc import pmi_collocations_oracle_sql
+
+    return pmi_collocations_oracle_sql(
+        "SELECT doc_id, text FROM documents", min_count=5, top_k=25
+    )
+
+
+def _crawl_delta_oracle() -> str:
+    from deduce_spark.spark.weburl import crawl_delta_oracle_sql
+
+    url = ("'https://w' || CAST(doc_id % 9 AS VARCHAR) || '.nl/p/' || "
+           "CAST(doc_id AS VARCHAR)")
+    old = f"SELECT {url} AS url, md5(text) AS digest FROM documents"
+    new = f"""
+        SELECT {url} AS url,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || 'x'
+                        ELSE text END) AS digest
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT {url} || '/new' AS url, md5(text) AS digest
+        FROM documents WHERE doc_id % 17 = 0
+    """
+    return crawl_delta_oracle_sql(old, new) + " ORDER BY url"
+
+
 def _frontier_oracle() -> str:
     from deduce_spark.spark.weburl import frontier_waves_oracle_sql
 
@@ -3321,6 +3385,8 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "warc_roundtrip_files": _warc_oracle(),
         "recrawl_schedule_urls": _recrawl_oracle(),
         "robots_policy_urls": _robots_oracle(),
+        "pmi_collocations_docs": _pmi_oracle(),
+        "crawl_delta_snapshots": _crawl_delta_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),

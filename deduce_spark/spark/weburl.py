@@ -494,6 +494,61 @@ def recrawl_schedule_oracle_sql(
     """
 
 
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Classify each url across two crawl snapshots:
+    ``(url, status)`` with status in {added, deleted, changed,
+    unchanged} — the per-snapshot change signal that FEEDS
+    :func:`recrawl_schedule`'s changed_flags history and an incremental
+    KG build's re-annotate worklist.
+
+    Both inputs are ``(url, digest)`` where digest is any content
+    fingerprint (md5 of extracted text in the driver query).  Exactly
+    one full-outer shuffle join on url; at 10^12 urls both sides are
+    url-keyed tables a real deployment would bucket by url, making the
+    join co-located."""
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("old_digest")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("new_digest")
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("deleted"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def crawl_delta_oracle_sql(
+    old_sql: str,
+    new_sql: str,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> str:
+    """DuckDB twin of :func:`crawl_delta`."""
+    return f"""
+        SELECT COALESCE(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN n.url IS NULL THEN 'deleted'
+                    WHEN o.old_digest <> n.new_digest THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM (SELECT {url_col} AS url, {digest_col} AS old_digest
+              FROM ({old_sql})) o
+        FULL OUTER JOIN
+             (SELECT {url_col} AS url, {digest_col} AS new_digest
+              FROM ({new_sql})) n
+          ON o.url = n.url
+    """
+
+
 def parse_robots(
     robots: DataFrame,
     host_col: str = "host",
