@@ -468,7 +468,7 @@ _DEMOTED_ORDER = [
     # round-6 additions
     "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
     "warc_roundtrip_files", "recrawl_schedule_urls", "robots_policy_urls",
-    "pmi_collocations_docs", "crawl_delta_snapshots",
+    "pmi_collocations_docs", "crawl_delta_snapshots", "sitemap_locs_hosts",
 ]
 
 
@@ -1090,6 +1090,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return crawl_delta(old, new).orderBy("url")
 
     q["crawl_delta_snapshots"] = crawl_delta_snapshots
+
+    def sitemap_locs_hosts(spark, sf_dir):
+        # sitemap XML discovery source: block-level <url> extraction
+        # keeps each loc paired with ITS optional lastmod; whitespace-
+        # padded locs trimmed, %4 docs add a second lastmod-free entry
+        from deduce_spark.spark.weburl import parse_sitemap
+
+        d = F.col("doc_id")
+        k = (d % 9).cast("string")
+        sm = _docs(spark, sf_dir).select(
+            F.concat(F.lit("h"), k).alias("host"),
+            F.concat(
+                F.lit("<urlset><url><loc> https://s"), k,
+                F.lit(".nl/a/"), d.cast("string"),
+                F.lit(" </loc><lastmod>2026-08-0"),
+                ((d % 9) + 1).cast("string"),
+                F.lit("</lastmod></url>"),
+                F.when(d % 4 == 0, F.concat(
+                    F.lit("<url>\n<loc>https://s"), k, F.lit(".nl/b/"),
+                    d.cast("string"), F.lit("</loc>\n</url>")))
+                .otherwise(F.lit("")),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+        return parse_sitemap(sm).select(
+            "host", "loc", F.coalesce("lastmod", F.lit("")).alias("lastmod")
+        ).orderBy("host", "loc")
+
+    q["sitemap_locs_hosts"] = sitemap_locs_hosts
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2542,6 +2571,33 @@ def _crawl_delta_oracle() -> str:
     return crawl_delta_oracle_sql(old, new) + " ORDER BY url"
 
 
+def _sitemap_oracle() -> str:
+    from deduce_spark.spark.weburl import parse_sitemap_oracle_sql
+
+    nl = "chr(10)"
+    sm = f"""
+        SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+               '<urlset><url><loc> https://s' || CAST(doc_id % 9 AS VARCHAR)
+               || '.nl/a/' || CAST(doc_id AS VARCHAR)
+               || ' </loc><lastmod>2026-08-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '</lastmod></url>'
+               || CASE WHEN doc_id % 4 = 0 THEN
+                      '<url>' || {nl} || '<loc>https://s'
+                      || CAST(doc_id % 9 AS VARCHAR) || '.nl/b/'
+                      || CAST(doc_id AS VARCHAR) || '</loc>' || {nl}
+                      || '</url>'
+                  ELSE '' END
+               || '</urlset>' AS sitemap_xml
+        FROM documents
+    """
+    inner = parse_sitemap_oracle_sql(sm)
+    return (
+        f"SELECT host, loc, COALESCE(lastmod, '') AS lastmod FROM ({inner})"
+        " ORDER BY host, loc"
+    )
+
+
 def _frontier_oracle() -> str:
     from deduce_spark.spark.weburl import frontier_waves_oracle_sql
 
@@ -3387,6 +3443,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "robots_policy_urls": _robots_oracle(),
         "pmi_collocations_docs": _pmi_oracle(),
         "crawl_delta_snapshots": _crawl_delta_oracle(),
+        "sitemap_locs_hosts": _sitemap_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),

@@ -494,6 +494,74 @@ def recrawl_schedule_oracle_sql(
     """
 
 
+_SITEMAP_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_SITEMAP_LOC_RE = r"(?s)<loc>\s*([^<]+?)\s*</loc>"
+_SITEMAP_LASTMOD_RE = r"(?s)<lastmod>\s*([^<]+?)\s*</lastmod>"
+
+
+def parse_sitemap(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    body_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemap XML bodies into ``(host, loc, lastmod)`` — the
+    crawl DISCOVERY source that pairs with :func:`parse_robots`
+    (policy) and :func:`crawl_delta` (change): new locs seed the
+    frontier, lastmod seeds :func:`recrawl_schedule`.
+
+    Extraction is block-level, the :func:`extract_anchors` discipline:
+    each ``<url>…</url>`` block is exploded FIRST so a loc stays paired
+    with ITS lastmod (extracting the two tag streams separately would
+    mis-align them when lastmod is optional).  ``(?s)`` regexes span
+    newlines in both engines; whitespace inside ``<loc>`` is trimmed
+    per the sitemap spec; missing ``<lastmod>`` yields NULL.  Subset
+    honesty: ``<urlset>`` entries only (no nested sitemapindex
+    recursion — an index's ``<loc>`` list is a fetch worklist, not row
+    data).
+
+    Scale shape: regexp + explode, fully native, no shuffle."""
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(body_col), F.lit(_SITEMAP_URL_BLOCK_RE), 1
+            )
+        ).alias("block"),
+    )
+    return blocks.select(
+        "host",
+        F.nullif(
+            F.regexp_extract("block", _SITEMAP_LOC_RE, 1), F.lit("")
+        ).alias("loc"),
+        F.nullif(
+            F.regexp_extract("block", _SITEMAP_LASTMOD_RE, 1), F.lit("")
+        ).alias("lastmod"),
+    ).filter(F.col("loc").isNotNull())
+
+
+def parse_sitemap_oracle_sql(
+    sitemaps_sql: str,
+    host_col: str = "host",
+    body_col: str = "sitemap_xml",
+) -> str:
+    """DuckDB twin of :func:`parse_sitemap`."""
+    return f"""
+        SELECT host,
+               NULLIF(regexp_extract(block, '{_SITEMAP_LOC_RE}', 1),
+                      '') AS loc,
+               NULLIF(regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1),
+                      '') AS lastmod
+        FROM (
+            SELECT {host_col} AS host,
+                   unnest(regexp_extract_all({body_col},
+                          '{_SITEMAP_URL_BLOCK_RE}', 1)) AS block
+            FROM ({sitemaps_sql})
+        )
+        WHERE NULLIF(regexp_extract(block, '{_SITEMAP_LOC_RE}', 1), '')
+              IS NOT NULL
+    """
+
+
 def crawl_delta(
     old: DataFrame,
     new: DataFrame,

@@ -140,6 +140,55 @@ def test_robots_oracle_parity_inline(spark, robots_rules):
         assert list(got[c]) == list(want[c]), c
 
 
+SITEMAPS = [
+    ("a.nl",
+     '<?xml version="1.0"?><urlset>'
+     "<url><loc> https://a.nl/1 </loc><lastmod>2026-08-01</lastmod></url>"
+     "<url>\n  <loc>https://a.nl/2</loc>\n</url>"
+     "<url><lastmod>2026-08-03</lastmod></url>"  # no loc -> dropped
+     "</urlset>"),
+    ("b.nl", "<urlset><url><loc>https://b.nl/x</loc>"
+             "<lastmod>2026-01-02</lastmod></url></urlset>"),
+    ("c.nl", "not xml at all"),
+]
+
+
+def test_parse_sitemap_pairs_loc_with_its_lastmod(spark):
+    from deduce_spark.spark.weburl import parse_sitemap
+
+    sm = spark.createDataFrame(SITEMAPS, "host string, sitemap_xml string")
+    rows = {(r["host"], r["loc"]): r["lastmod"]
+            for r in parse_sitemap(sm).collect()}
+    assert rows == {
+        ("a.nl", "https://a.nl/1"): "2026-08-01",  # whitespace trimmed
+        ("a.nl", "https://a.nl/2"): None,          # optional lastmod
+        ("b.nl", "https://b.nl/x"): "2026-01-02",
+    }
+
+
+def test_parse_sitemap_oracle_parity(spark):
+    from deduce_spark.spark.weburl import (
+        parse_sitemap,
+        parse_sitemap_oracle_sql,
+    )
+
+    sm = spark.createDataFrame(SITEMAPS, "host string, sitemap_xml string")
+    got = parse_sitemap(sm).orderBy("host", "loc").toPandas()
+    con = duckdb.connect()
+    con.register(
+        "sm_src", pd.DataFrame(SITEMAPS, columns=["host", "sitemap_xml"])
+    )
+    want = con.execute(
+        parse_sitemap_oracle_sql("SELECT * FROM sm_src")
+        + " ORDER BY host, loc"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert [x for x in got[c]] == [
+            (None if pd.isna(x) else x) for x in want[c]
+        ], c
+
+
 def test_no_shuffle_no_python(spark, hist_df):
     plan = (
         recrawl_schedule(hist_df)
