@@ -467,7 +467,8 @@ _DEMOTED_ORDER = [
     "events_cohort_retention", "bfs_link_hosts",
     # round-6 additions
     "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
-    "warc_roundtrip_files", "recrawl_schedule_urls", "robots_policy_urls",
+    "warc_roundtrip_files", "warc_gzip_roundtrip_files",
+    "recrawl_schedule_urls", "robots_policy_urls",
     "pmi_collocations_docs", "crawl_delta_snapshots", "sitemap_locs_hosts",
 ]
 
@@ -969,18 +970,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["boilerplate_clean_hosts"] = boilerplate_clean_hosts
 
-    def warc_roundtrip_files(spark, sf_dir):
-        # Common-Crawl-style WARC source: pack pages into 8 archive
-        # blobs with native expressions, then re-ingest through the
-        # length-delimited Arrow parser (the production path).  Bodies
-        # exercise the three parse landmines: empty (%101), containing
-        # the record magic (%53 — length-delimited must not split), and
-        # multibyte (%17 — Content-Length counts BYTES).  The oracle
-        # recomputes every record's offset/length/md5 from source rows.
-        from deduce_spark.spark.warc import pack_warc_files, parse_warc_records
-
+    def _warc_pages(spark, sf_dir):
+        # Bodies exercise the three parse landmines: empty (%101),
+        # containing the record magic (%53 — length-delimited parsing
+        # must not split), and multibyte (%17 — Content-Length counts
+        # BYTES)
         d = F.col("doc_id")
-        pages = _docs(spark, sf_dir).select(
+        return _docs(spark, sf_dir).select(
             F.concat(F.lit("https://w"), (d % 9).cast("string"),
                      F.lit(".nl/p/"), d.cast("string")).alias("url"),
             F.concat(F.lit("2026-08-"),
@@ -992,11 +988,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(d % 17 == 0, F.concat(F.col("text"), F.lit(" café🍰")))
             .otherwise(F.col("text")).alias("body"),
         )
-        return parse_warc_records(pack_warc_files(pages, n_files=8)).orderBy(
-            "url"
-        )
+
+    def warc_roundtrip_files(spark, sf_dir):
+        # Common-Crawl-style WARC source: pack pages into 8 archive
+        # blobs with native expressions, then re-ingest through the
+        # length-delimited Arrow parser (the production path).  The
+        # oracle recomputes every record's offset/length/md5 from
+        # source rows.
+        from deduce_spark.spark.warc import pack_warc_files, parse_warc_records
+
+        return parse_warc_records(
+            pack_warc_files(_warc_pages(spark, sf_dir), n_files=8)
+        ).orderBy("url")
 
     q["warc_roundtrip_files"] = warc_roundtrip_files
+
+    def warc_gzip_roundtrip_files(spark, sf_dir):
+        # the same pages through the .warc.gz layout: one deterministic
+        # gzip MEMBER per record, auto-detected by the parser.  Member
+        # byte lengths are not SQL-expressible, so the oracle pins the
+        # content-addressed columns; the member-tiling invariant is
+        # pytest-pinned (test_warc.py)
+        from deduce_spark.spark.warc import pack_warc_files, parse_warc_records
+
+        return (
+            parse_warc_records(
+                pack_warc_files(
+                    _warc_pages(spark, sf_dir), n_files=8, compress=True
+                )
+            )
+            .select("file_id", "url", "ts", "body_bytes", "body_md5")
+            .orderBy("url")
+        )
+
+    q["warc_gzip_roundtrip_files"] = warc_gzip_roundtrip_files
 
     def recrawl_schedule_urls(spark, sf_dir):
         # adaptive-revisit (AIMD) crawl scheduling over synthetic fetch
@@ -2483,11 +2508,9 @@ def _dsir_oracle() -> str:
     )
 
 
-def _warc_oracle() -> str:
-    from deduce_spark.spark.warc import warc_roundtrip_oracle_sql
-
+def _warc_pages_sql() -> str:
     crlf = "chr(13) || chr(10)"
-    pages = f"""
+    return f"""
         SELECT 'https://w' || CAST(doc_id % 9 AS VARCHAR)
                    || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url,
                '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
@@ -2498,8 +2521,23 @@ def _warc_oracle() -> str:
                     ELSE text END AS body
         FROM documents
     """
+
+
+def _warc_oracle() -> str:
+    from deduce_spark.spark.warc import warc_roundtrip_oracle_sql
+
     return (
-        warc_roundtrip_oracle_sql(pages, n_files=8) + " ORDER BY url"
+        warc_roundtrip_oracle_sql(_warc_pages_sql(), n_files=8)
+        + " ORDER BY url"
+    )
+
+
+def _warc_gzip_oracle() -> str:
+    from deduce_spark.spark.warc import warc_gzip_roundtrip_oracle_sql
+
+    return (
+        warc_gzip_roundtrip_oracle_sql(_warc_pages_sql(), n_files=8)
+        + " ORDER BY url"
     )
 
 
@@ -3439,6 +3477,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "frontier_waves_hosts": _frontier_oracle(),
         "boilerplate_clean_hosts": _boilerplate_oracle(),
         "warc_roundtrip_files": _warc_oracle(),
+        "warc_gzip_roundtrip_files": _warc_gzip_oracle(),
         "recrawl_schedule_urls": _recrawl_oracle(),
         "robots_policy_urls": _robots_oracle(),
         "pmi_collocations_docs": _pmi_oracle(),

@@ -77,6 +77,7 @@ def pack_warc_files(
     url_col: str = "url",
     ts_col: str = "ts",
     body_col: str = "body",
+    compress: bool = False,
 ) -> DataFrame:
     """Assemble pages into ``n_files`` WARC archive blobs:
     ``(file_id long, payload binary, n_records long)``.
@@ -86,10 +87,18 @@ def pack_warc_files(
     re-run agree; records are concatenated in ``url`` order within each
     file, making every archive byte-deterministic (resume-safe).
 
+    ``compress=True`` produces the REAL Common-Crawl ``.warc.gz``
+    layout: each record is its own gzip MEMBER (concatenated members
+    form a valid gzip stream, yet any record is independently seekable
+    by its member offset).  Members are deterministic (mtime=0, fixed
+    level), so re-packs stay bit-identical.
+
     Scale shape: one shuffle (groupBy file_id) whose per-group size is
     records-per-file — the caller sizes ``n_files`` so a file fits an
     Arrow batch, exactly like sizing real WARC shards.  All string
-    assembly is codegen'd; no Python anywhere."""
+    assembly is codegen'd; the only Python is the gzip deflate in
+    compressed mode (one Arrow-batched stage, the multimodal codec
+    pattern)."""
     rec = warc_record_expr(
         F.col(url_col), F.col(ts_col), F.col(body_col)
     ).alias("rec")
@@ -103,13 +112,41 @@ def pack_warc_files(
     )
     keyed = pages.select(file_id, F.col(url_col).alias("url"), rec)
     sorted_recs = F.array_sort(F.collect_list(F.struct("url", "rec")))
-    return keyed.groupBy("file_id").agg(
-        F.array_join(
-            F.transform(sorted_recs, lambda x: x["rec"]), ""
-        )
-        .cast("binary")
-        .alias("payload"),
+    grouped = keyed.groupBy("file_id").agg(
+        F.transform(sorted_recs, lambda x: x["rec"]).alias("recs"),
         F.count(F.lit(1)).cast("long").alias("n_records"),
+    )
+    if not compress:
+        return grouped.select(
+            "file_id",
+            F.array_join("recs", "").cast("binary").alias("payload"),
+            "n_records",
+        )
+
+    import gzip
+
+    import pandas as pd
+
+    def gz(batches):
+        for pdf in batches:
+            payloads = [
+                b"".join(
+                    gzip.compress(r.encode("utf-8"), compresslevel=6,
+                                  mtime=0)
+                    for r in recs
+                )
+                for recs in pdf["recs"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"].astype("int64"),
+                    "payload": payloads,
+                    "n_records": pdf["n_records"].astype("int64"),
+                }
+            )
+
+    return grouped.mapInPandas(
+        gz, "file_id long, payload binary, n_records long"
     )
 
 
@@ -128,14 +165,48 @@ def parse_warc_records(
 
     The kernel is the real length-delimited WARC walk: find CRLFCRLF,
     parse headers, slice the body by ``Content-Length`` BYTES, then
-    require the CRLFCRLF record terminator.  Malformed archives raise
-    (honest failure, no silent row drops).  Python iterates RECORDS
-    inside an Arrow batch — the per-format-parse pattern shared with
-    multimodal.py decoders; there is no per-row Python stage anywhere
-    else in the plan and parsing needs no shuffle."""
+    require the CRLFCRLF record terminator.  Gzip-member archives (the
+    Common-Crawl ``.warc.gz`` layout — one gzip member per record) are
+    auto-detected by the 1f 8b member magic; ``offset``/``rec_len``
+    then describe the COMPRESSED member (the seekable unit a range
+    read fetches), while body fields describe the decompressed record.
+    Malformed archives raise (honest failure, no silent row drops).
+    Python iterates RECORDS inside an Arrow batch — the
+    per-format-parse pattern shared with multimodal.py decoders; there
+    is no per-row Python stage anywhere else in the plan and parsing
+    needs no shuffle."""
     import hashlib
+    import zlib
 
     import pandas as pd
+
+    def parse_one(buf: bytes, pos: int, fid) -> tuple:
+        """(url, ts, body, end_pos) for the plain record at ``pos``."""
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(
+                f"warc file {fid}: unterminated header at byte {pos}"
+            )
+        lines = buf[pos:hdr_end].decode("utf-8").split(_CRLF)
+        if lines[0] != "WARC/1.0":
+            raise ValueError(
+                f"warc file {fid}: bad record magic {lines[0]!r} "
+                f"at byte {pos}"
+            )
+        hdrs = dict(ln.split(": ", 1) for ln in lines[1:])
+        clen = int(hdrs["Content-Length"])
+        body_start = hdr_end + 4
+        body = buf[body_start:body_start + clen]
+        if len(body) != clen:
+            raise ValueError(
+                f"warc file {fid}: truncated body at byte {body_start}"
+            )
+        end = body_start + clen
+        if buf[end:end + 4] != b"\r\n\r\n":
+            raise ValueError(
+                f"warc file {fid}: missing record terminator at byte {end}"
+            )
+        return hdrs["WARC-Target-URI"], hdrs["WARC-Date"], body, end + 4
 
     def gen(batches):
         for pdf in batches:
@@ -147,40 +218,30 @@ def parse_warc_records(
                 pos = 0
                 while pos < len(buf):
                     start = pos
-                    hdr_end = buf.find(b"\r\n\r\n", pos)
-                    if hdr_end < 0:
-                        raise ValueError(
-                            f"warc file {fid}: unterminated header at "
-                            f"byte {pos}"
-                        )
-                    lines = buf[pos:hdr_end].decode("utf-8").split(_CRLF)
-                    if lines[0] != "WARC/1.0":
-                        raise ValueError(
-                            f"warc file {fid}: bad record magic "
-                            f"{lines[0]!r} at byte {pos}"
-                        )
-                    hdrs = dict(ln.split(": ", 1) for ln in lines[1:])
-                    clen = int(hdrs["Content-Length"])
-                    body_start = hdr_end + 4
-                    body = buf[body_start:body_start + clen]
-                    if len(body) != clen:
-                        raise ValueError(
-                            f"warc file {fid}: truncated body at byte "
-                            f"{body_start}"
-                        )
-                    pos = body_start + clen
-                    if buf[pos:pos + 4] != b"\r\n\r\n":
-                        raise ValueError(
-                            f"warc file {fid}: missing record terminator "
-                            f"at byte {pos}"
-                        )
-                    pos += 4
+                    if buf[pos:pos + 2] == b"\x1f\x8b":
+                        # one gzip member per record (.warc.gz layout)
+                        d = zlib.decompressobj(wbits=31)
+                        rec = d.decompress(buf[pos:])
+                        if not d.eof:
+                            raise ValueError(
+                                f"warc file {fid}: truncated gzip member "
+                                f"at byte {pos}"
+                            )
+                        pos = len(buf) - len(d.unused_data)
+                        url, ts, body, end = parse_one(rec, 0, fid)
+                        if end != len(rec):
+                            raise ValueError(
+                                f"warc file {fid}: gzip member at byte "
+                                f"{start} holds more than one record"
+                            )
+                    else:
+                        url, ts, body, pos = parse_one(buf, pos, fid)
                     fids.append(int(fid))
-                    urls.append(hdrs["WARC-Target-URI"])
-                    tss.append(hdrs["WARC-Date"])
+                    urls.append(url)
+                    tss.append(ts)
                     offs.append(start)
                     lens.append(pos - start)
-                    blens.append(clen)
+                    blens.append(len(body))
                     md5s.append(hashlib.md5(body).hexdigest())
             yield pd.DataFrame(
                 {
@@ -195,6 +256,29 @@ def parse_warc_records(
             )
 
     return files.mapInPandas(gen, _PARSE_SCHEMA)
+
+
+def warc_gzip_roundtrip_oracle_sql(
+    pages_sql: str,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    body_col: str = "body",
+) -> str:
+    """DuckDB twin of ``parse_warc_records(pack_warc_files(pages,
+    compress=True))`` on the CONTENT-ADDRESSED columns (file_id, url,
+    ts, body_bytes, body_md5).  Gzip member byte lengths are not
+    SQL-expressible, so offset/rec_len are excluded here and pinned
+    instead by the pytest tiling invariant (members exactly cover each
+    payload)."""
+    return f"""
+        SELECT ('0x' || substr(md5({url_col}), 1, 8))::BIGINT
+                   % {n_files} AS file_id,
+               {url_col} AS url, {ts_col} AS ts,
+               strlen({body_col})::BIGINT AS body_bytes,
+               md5({body_col}) AS body_md5
+        FROM ({pages_sql})
+    """
 
 
 def warc_roundtrip_oracle_sql(

@@ -100,6 +100,69 @@ def test_not_a_warc_raises(spark):
         parse_warc_records(bad).collect()
 
 
+def test_gzip_roundtrip_matches_plain(spark, pages_df):
+    plain = (
+        parse_warc_records(pack_warc_files(pages_df, n_files=2))
+        .select("file_id", "url", "ts", "body_bytes", "body_md5")
+        .orderBy("url")
+        .collect()
+    )
+    gz = (
+        parse_warc_records(
+            pack_warc_files(pages_df, n_files=2, compress=True)
+        )
+        .select("file_id", "url", "ts", "body_bytes", "body_md5")
+        .orderBy("url")
+        .collect()
+    )
+    assert plain == gz
+
+
+def test_gzip_members_tile_and_shrink(spark, pages_df):
+    files = pack_warc_files(pages_df, n_files=1, compress=True).cache()
+    try:
+        payload = bytes(files.collect()[0]["payload"])
+        recs = sorted(
+            parse_warc_records(files).collect(), key=lambda r: r["offset"]
+        )
+        pos = 0
+        for r in recs:
+            assert r["offset"] == pos
+            pos += r["rec_len"]
+        assert pos == len(payload)
+        plain_size = len(bytes(
+            pack_warc_files(pages_df, n_files=1).collect()[0]["payload"]
+        ))
+        # the x*5000 body makes deflate win overall
+        assert len(payload) < plain_size
+    finally:
+        files.unpersist()
+
+
+def test_gzip_pack_deterministic(spark, pages_df):
+    a = bytes(
+        pack_warc_files(pages_df, n_files=1, compress=True)
+        .collect()[0]["payload"]
+    )
+    b = bytes(
+        pack_warc_files(pages_df, n_files=1, compress=True)
+        .collect()[0]["payload"]
+    )
+    assert a == b
+
+
+def test_truncated_gzip_member_raises(spark, pages_df):
+    payload = bytes(
+        pack_warc_files(pages_df, n_files=1, compress=True)
+        .collect()[0]["payload"]
+    )
+    bad = spark.createDataFrame(
+        [(0, bytearray(payload[:-20]))], "file_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated gzip|one record"):
+        parse_warc_records(bad).collect()
+
+
 def test_oracle_parity_inline(spark, pages_df):
     got = (
         parse_warc_records(pack_warc_files(pages_df, n_files=2))
