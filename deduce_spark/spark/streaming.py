@@ -412,3 +412,20 @@ def cms_stream(
     from deduce_spark.spark.sketches import cms_build
 
     return cms_build(stream_df, col, width=width, depth=depth)
+
+
+def warc_ingest_stream(files_stream: DataFrame) -> DataFrame:
+    """Streaming WARC ingestion: archive blobs land continuously (the
+    Common-Crawl cadence — a new segment every crawl wave) and each
+    micro-batch's archives parse independently through the BATCH
+    kernel: ``warc.parse_warc_records`` is a stateless ``mapInPandas``,
+    so the exact same code runs on the unbounded stream — no state
+    store, no watermark (an archive never spans batches; record offsets
+    are per-archive).  Exactly-once delivery is the file-source +
+    checkpoint contract upstream (each archive file is consumed once
+    per checkpoint lineage — pinned by the two-run restart test) plus
+    an idempotent sink downstream (the StreamingMentionsWriter
+    discipline)."""
+    from deduce_spark.spark.warc import parse_warc_records
+
+    return parse_warc_records(files_stream)

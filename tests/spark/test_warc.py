@@ -163,6 +163,58 @@ def test_truncated_gzip_member_raises(spark, pages_df):
         parse_warc_records(bad).collect()
 
 
+def test_streaming_ingest_exactly_once(spark, pages_df, tmp_path):
+    from deduce_spark.spark.streaming import warc_ingest_stream
+
+    src, ckpt = tmp_path / "drops", tmp_path / "ckpt"
+    src.mkdir()
+    first = pages_df.filter(F.col("url") < "https://b")
+    second = pages_df.filter(F.col("url") >= "https://b")
+    pack_warc_files(first, n_files=1).write.parquet(str(src / "d1"))
+
+    collected: list = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "file_id long, payload binary, n_records long"
+        ).parquet(f"{src}/*")
+
+        def sink(batch_df, batch_id):
+            collected.extend(batch_df.collect())
+
+        q = (
+            warc_ingest_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r["url"] for r in collected) == sorted(
+        r[0] for r in first.select("url").collect()
+    )
+    # second drop arrives; restart from the same checkpoint parses ONLY it
+    pack_warc_files(second, n_files=1).write.parquet(str(src / "d2"))
+    n_before = len(collected)
+    run()
+    assert sorted(r["url"] for r in collected[n_before:]) == sorted(
+        r[0] for r in second.select("url").collect()
+    )
+    # third run with nothing new emits nothing (exactly-once)
+    n_before = len(collected)
+    run()
+    assert len(collected) == n_before
+    # every record's content fields match the batch parse of both packs
+    batch = parse_warc_records(
+        pack_warc_files(pages_df, n_files=1)
+    ).collect()
+    assert {(r["url"], r["body_md5"]) for r in collected} == {
+        (r["url"], r["body_md5"]) for r in batch
+    }
+
+
 def test_oracle_parity_inline(spark, pages_df):
     got = (
         parse_warc_records(pack_warc_files(pages_df, n_files=2))
