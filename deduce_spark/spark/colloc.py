@@ -47,22 +47,25 @@ def pmi_collocations(
     ``pmi_q10`` desc then (w1, w2) — the deterministic tie order both
     engines replay."""
     w = _WORDS.format(col=text_col)
-    pairs = (
+    pairs_all = (
         _bigrams(docs, text_col, [])
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
     )
-    tokens = docs.select(F.explode(F.expr(w)).alias("word"))
-    uni = tokens.groupBy("word").agg(
-        F.count(F.lit(1)).cast("long").alias("n_word")
+    pairs = pairs_all.filter(F.col("n_pair") >= min_count)
+    uni = (
+        docs.select(F.explode(F.expr(w)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_word"))
     )
-    totals = tokens.agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok")
+    # totals derive from the vocabulary-sized aggregates (sum of unigram
+    # counts = token occurrences; sum of pre-filter pair counts = bigram
+    # occurrences) — re-scanning the corpus for two 1-row counts would
+    # add two full explode passes Catalyst does not dedupe
+    totals = uni.agg(
+        F.sum("n_word").cast("long").alias("n_tok")
     ).crossJoin(
-        _bigrams(docs, text_col, []).agg(
-            F.count(F.lit(1)).cast("long").alias("n_big")
-        )
+        pairs_all.agg(F.sum("n_pair").cast("long").alias("n_big"))
     )
     scored = (
         pairs.join(uni.withColumnRenamed("word", "w1"), "w1")

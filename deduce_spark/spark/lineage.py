@@ -164,6 +164,32 @@ def part_records(
     return recs
 
 
+def content_fingerprint(df: DataFrame, *cols: str) -> str:
+    """Order-independent content fingerprint of a frame over ``cols``:
+    ``"<rowcount>-<hex bit_xor of xxhash64(cols)>"`` — the stage-resume
+    key shared by jobs/curate_corpus.py and jobs/schedule_crawl.py."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*cols)).alias("x"),
+    ).collect()[0]
+    return f"{int(row['n'])}-{int(row['x'] or 0):x}"
+
+
+def stage_done(log: "LineageLog", table, name: str, fp: str) -> bool:
+    """True iff ``table`` exists and the stage's LATEST lineage record
+    is ok at this input fingerprint — the shared resume predicate for
+    stage-chain jobs.  Latest-record (not any-record) matters when
+    inputs alternate: after a run at fp2, the tables hold fp2's output,
+    so an old fp1 record must NOT satisfy a new fp1 run."""
+    if not table.exists():
+        return False
+    recs = [r for r in log.records() if r.get("stage") == name]
+    if not recs:
+        return False
+    latest = max(recs, key=lambda r: r.get("seq", 0))
+    return latest.get("status") == "ok" and latest.get("input_fp") == fp
+
+
 def stage_record(
     name: str, seq: int, run_id: str, rows: int, wall_s: float, **extra
 ) -> dict:

@@ -99,8 +99,25 @@ def pack_warc_files(
     assembly is codegen'd; the only Python is the gzip deflate in
     compressed mode (one Arrow-batched stage, the multimodal codec
     pattern)."""
-    rec = warc_record_expr(
-        F.col(url_col), F.col(ts_col), F.col(body_col)
+    # NULL url/ts/body would make the record expression NULL, which
+    # collect_list silently skips while n_records still counts the row —
+    # the exact silent data loss the parser's contract forbids.  Raise
+    # per offending row instead (the branch only evaluates on NULLs).
+    null_guard = (
+        F.col(url_col).isNull()
+        | F.col(ts_col).isNull()
+        | F.col(body_col).isNull()
+    )
+    rec = F.when(
+        null_guard,
+        F.raise_error(
+            F.concat(
+                F.lit("pack_warc_files: NULL url/ts/body for url="),
+                F.coalesce(F.col(url_col), F.lit("<null>")),
+            )
+        ),
+    ).otherwise(
+        warc_record_expr(F.col(url_col), F.col(ts_col), F.col(body_col))
     ).alias("rec")
     file_id = (
         F.expr(

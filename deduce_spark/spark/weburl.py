@@ -634,21 +634,27 @@ def parse_robots(
     says an empty pattern matches nothing), no ``*``/``$`` wildcards.
 
     Scale shape: split + posexplode + regexp — native end to end.  The
-    group-assignment window is per host over one file's LINES; the RFC
-    caps robots.txt at 500 KiB, so the window input is bounded by spec,
-    not by data."""
+    group-assignment window is per (host, body) over one file's LINES;
+    the RFC caps robots.txt at 500 KiB, so the window input is bounded
+    by spec, not by data.  Keying the window on the body hash as well
+    as the host makes duplicate host rows (a robots file refetched in
+    two crawl waves and unioned) parse each body INDEPENDENTLY instead
+    of interleaving their colliding line numbers nondeterministically."""
     line_no = (F.col("pos") + 1).alias("ln")
     lines = robots.select(
         F.col(host_col).alias("host"),
+        F.xxhash64(F.col(body_col)).alias("fkey"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
     ).select(
         "host",
+        "fkey",
         line_no,
         F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
     )
     low = F.lower(F.col("line"))
     tagged = lines.select(
         "host",
+        "fkey",
         "ln",
         F.when(
             low.startswith("user-agent:"),
@@ -665,7 +671,7 @@ def parse_robots(
         .alias("prefix"),
     )
     w = (
-        Window.partitionBy("host")
+        Window.partitionBy("host", "fkey")
         .orderBy("ln")
         .rowsBetween(Window.unboundedPreceding, 0)
     )

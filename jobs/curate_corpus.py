@@ -53,25 +53,6 @@ CONTAM_MAX_PERMILLE = 100
 LM_MAX_MILLIBITS = 15_000
 
 
-def _input_fingerprint(docs) -> str:
-    row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("doc_id", "text")).alias("x"),
-    ).collect()[0]
-    return f"{int(row['n'])}-{int(row['x'] or 0):x}"
-
-
-def _stage_done(log, table, name: str, fp: str) -> bool:
-    if not table.exists():
-        return False
-    return any(
-        r.get("stage") == name
-        and r.get("status") == "ok"
-        and r.get("input_fp") == fp
-        for r in log.records()
-    )
-
-
 def run_job(
     spark: SparkSession,
     input_path: str,
@@ -93,7 +74,12 @@ def run_job(
     )
     from deduce_spark.spark.dedup import minhash_dedup
     from deduce_spark.spark.iceberg_catalog import open_table
-    from deduce_spark.spark.lineage import LineageLog, stage_record
+    from deduce_spark.spark.lineage import (
+        LineageLog,
+        content_fingerprint,
+        stage_done,
+        stage_record,
+    )
     from deduce_spark.spark.lmscore import bigram_lm_score
     from deduce_spark.spark.textstats import textstats_all
 
@@ -112,12 +98,12 @@ def run_job(
             F.xxhash64(F.col(id_col)).alias("doc_id"),
             F.col(text_col).alias("text"),
         )
-    fp = _input_fingerprint(docs)
+    fp = content_fingerprint(docs, "doc_id", "text")
     summary: dict = {"run_id": run_id, "input_fp": fp, "stages": {}}
 
     def stage(name: str, build, table_name: str, partition_by=()):
         table = open_table(spark, str(out / table_name))
-        if resume and _stage_done(log, table, name, fp):
+        if resume and stage_done(log, table, name, fp):
             summary["stages"][name] = {"skipped": True}
             return table.read(spark)
         t0 = time.time()

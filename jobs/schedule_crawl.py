@@ -15,8 +15,9 @@ between fetch rounds, in order:
               --previous every url is 'added' (first crawl)
     policy    parse_robots + robots_allowed over the current url space
               (--robots gives (host, robots_txt) bodies; without it
-              every url is allowed) — deleted urls and disallowed urls
-              leave the frontier here
+              every url is allowed) — disallowed urls leave the
+              frontier here; deleted urls never enter it (they are
+              absent from the current snapshot by construction)
     schedule  recrawl_schedule: AIMD next-interval per url from
               --history (url, changed_flags) when given, else from this
               round's delta (changed -> [1], unchanged -> [0],
@@ -29,9 +30,12 @@ Outputs under --output (Iceberg-layout tables, see icetable.py):
     delta/  allowed/  schedule/  frontier/  _lineage/
 
 Stage resume follows curate_corpus exactly: each stage appends a
-lineage record carrying the input's content fingerprint after its
+lineage record carrying the run inputs' content fingerprint after its
 table commits; re-running skips stages whose lineage shows an ok
 record for the same fingerprint, and ``--no-resume`` forces a rebuild.
+The fingerprint covers ALL FOUR inputs (--input, --previous, --robots,
+--history), so changing any side input rebuilds instead of serving the
+stale tables.
 Every stage is deterministic (portable-hash buckets, no sampling), so
 a resumed or re-run schedule emits bit-identical waves — the property
 that makes the frontier safely restartable mid-crawl.
@@ -47,25 +51,6 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-
-
-def _input_fingerprint(urls) -> str:
-    row = urls.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("url", "digest")).alias("x"),
-    ).collect()[0]
-    return f"{int(row['n'])}-{int(row['x'] or 0):x}"
-
-
-def _stage_done(log, table, name: str, fp: str) -> bool:
-    if not table.exists():
-        return False
-    return any(
-        r.get("stage") == name
-        and r.get("status") == "ok"
-        and r.get("input_fp") == fp
-        for r in log.records()
-    )
 
 
 def _digested(df, url_col: str, text_col: str):
@@ -98,7 +83,12 @@ def run_job(
     text_col: str = "text",
 ) -> dict:
     from deduce_spark.spark.iceberg_catalog import open_table
-    from deduce_spark.spark.lineage import LineageLog, stage_record
+    from deduce_spark.spark.lineage import (
+        LineageLog,
+        content_fingerprint,
+        stage_done,
+        stage_record,
+    )
     from deduce_spark.spark.weburl import (
         crawl_delta,
         frontier_waves,
@@ -112,12 +102,38 @@ def run_job(
     log = LineageLog(out / "_lineage")
     run_id = uuid.uuid4().hex[:12]
     current = _digested(spark.read.parquet(input_path), url_col, text_col)
-    fp = _input_fingerprint(current)
+    prev = (
+        _digested(spark.read.parquet(previous_path), url_col, text_col)
+        if previous_path is not None else None
+    )
+    robots = (
+        spark.read.parquet(robots_path) if robots_path is not None else None
+    )
+    history = (
+        spark.read.parquet(history_path).select(
+            F.col(url_col).alias("url"), "changed_flags"
+        )
+        if history_path is not None else None
+    )
+    # the resume key covers EVERY input that shapes the outputs — a
+    # re-run with the same --input but a different --previous/--robots/
+    # --history must rebuild, not serve the stale tables
+    fp = "+".join(
+        [
+            content_fingerprint(current, "url", "digest"),
+            "prev:" + (content_fingerprint(prev, "url", "digest")
+                       if prev is not None else "none"),
+            "robots:" + (content_fingerprint(robots, "host", "robots_txt")
+                         if robots is not None else "none"),
+            "hist:" + (content_fingerprint(history, "url", "changed_flags")
+                       if history is not None else "none"),
+        ]
+    )
     summary: dict = {"run_id": run_id, "input_fp": fp, "stages": {}}
 
     def stage(name: str, build, table_name: str):
         table = open_table(spark, str(out / table_name))
-        if resume and _stage_done(log, table, name, fp):
+        if resume and stage_done(log, table, name, fp):
             summary["stages"][name] = {"skipped": True}
             return table.read(spark)
         t0 = time.time()
@@ -136,40 +152,33 @@ def run_job(
         return result
 
     def build_delta():
-        if previous_path is None:
+        if prev is None:
             # first crawl: no previous snapshot, everything is new
             return current.select("url", F.lit("added").alias("status"))
-        prev = _digested(
-            spark.read.parquet(previous_path), url_col, text_col
-        )
         return crawl_delta(prev, current)
 
     delta = stage("delta", build_delta, "delta")
 
     def build_allowed():
-        live = current.select("url").join(
-            delta.filter(F.col("status") == "deleted").select("url"),
-            "url",
-            "left_anti",
-        )
-        if robots_path is None:
+        # 'deleted' urls are by construction absent from the current
+        # snapshot, so the live set IS the current url space; the policy
+        # stage only has to filter robots-disallowed urls
+        live = current.select("url")
+        if robots is None:
             return live.select(
                 "url",
                 F.lit(1).alias("allowed"),
                 F.lit("").alias("rule_prefix"),
             )
-        rules = parse_robots(spark.read.parquet(robots_path))
-        return robots_allowed(live, rules, agent=agent).select(
-            "url", "allowed", "rule_prefix"
-        )
+        return robots_allowed(
+            live, parse_robots(robots), agent=agent
+        ).select("url", "allowed", "rule_prefix")
 
     allowed = stage("policy", build_allowed, "allowed")
 
     def build_schedule():
-        if history_path is not None:
-            hist = spark.read.parquet(history_path).select(
-                F.col(url_col).alias("url"), "changed_flags"
-            )
+        if history is not None:
+            hist = history
         else:
             # single-round history synthesized from this delta: a changed
             # page halves its interval, an unchanged one doubles it, a

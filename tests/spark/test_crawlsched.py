@@ -103,6 +103,21 @@ def test_parse_robots_groups_and_drops(spark, robots_rules):
     assert not any(h == "b.nl" and p == "" for h, _, _, p in rows)
 
 
+def test_parse_robots_duplicate_host_rows_parse_independently(spark):
+    # the same host refetched in two waves and unioned: each body's
+    # rules must bind to ITS OWN user-agent lines, never interleave
+    from deduce_spark.spark.weburl import parse_robots
+
+    dup = spark.createDataFrame(
+        [("a.nl", "User-agent: *\nDisallow: /x"),
+         ("a.nl", "User-agent: badbot\nDisallow: /y")],
+        "host string, robots_txt string",
+    )
+    rows = {(r["agent"], r["allow"], r["prefix"])
+            for r in parse_robots(dup).collect()}
+    assert rows == {("*", 0, "/x"), ("badbot", 0, "/y")}
+
+
 def test_robots_allowed_precedence(spark, robots_rules):
     from deduce_spark.spark.weburl import robots_allowed
 

@@ -118,6 +118,36 @@ class TestScheduleCrawl:
             v == {"skipped": True} for v in second["stages"].values()
         )
 
+    def test_changed_side_input_rebuilds(self, spark, inputs, out_dir,
+                                         first_run, tmp_path_factory):
+        # same --input, different --robots: stages must NOT be skipped
+        d = tmp_path_factory.mktemp("robots2")
+        robots2 = d / "robots2.parquet"
+        pd.DataFrame(
+            [("a.nl", "User-agent: *\nDisallow: /")],
+            columns=["host", "robots_txt"],
+        ).to_parquet(robots2)
+        rerun = run_job(
+            spark, inputs["cur"], str(out_dir),
+            previous_path=inputs["prev"], robots_path=str(robots2),
+            per_host_cap=3,
+        )
+        assert all(
+            v != {"skipped": True} for v in rerun["stages"].values()
+        )
+        frontier = {
+            r["url"] for r in _read(spark, out_dir, "frontier").collect()
+        }
+        # the new robots disallows ALL of a.nl
+        assert not any(u.startswith("https://a.nl/") for u in frontier)
+        # restore the original tables for any later test: rebuild with
+        # the original inputs (fingerprint differs again -> full rerun)
+        run_job(
+            spark, inputs["cur"], str(out_dir),
+            previous_path=inputs["prev"], robots_path=inputs["robots"],
+            per_host_cap=3,
+        )
+
     def test_rerun_is_deterministic(self, spark, inputs, out_dir,
                                     first_run, tmp_path_factory):
         other = tmp_path_factory.mktemp("schedule_out2")

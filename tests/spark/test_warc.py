@@ -91,6 +91,16 @@ def test_malformed_archive_raises(spark):
         parse_warc_records(bad).collect()
 
 
+def test_null_body_raises_instead_of_silent_drop(spark):
+    pages = spark.createDataFrame(
+        [("https://a.nl/1", "2026-08-01T00:00:00Z", "ok"),
+         ("https://a.nl/2", "2026-08-02T00:00:00Z", None)],
+        "url string, ts string, body string",
+    )
+    with pytest.raises(Exception, match="NULL url/ts/body"):
+        pack_warc_files(pages, n_files=1).collect()
+
+
 def test_not_a_warc_raises(spark):
     bad = spark.createDataFrame(
         [(0, bytearray(b"HTTP/1.1 200 OK\r\n\r\nnope\r\n\r\n"))],
