@@ -47,21 +47,28 @@ def pmi_collocations(
     ``pmi_q10`` desc then (w1, w2) — the deterministic tie order both
     engines replay."""
     w = _WORDS.format(col=text_col)
+    # Each aggregate feeds multiple consumers (pairs filter + n_big;
+    # unigram joins on w1 AND w2 + n_tok) and Spark replays a repeated
+    # subplan per consumer — each replay a full corpus explode.  The
+    # eager lineage cut (the webgraph per-round discipline) bounds the
+    # corpus explodes at exactly TWO; both cut tables are
+    # vocabulary-sized, so the checkpoint cost is trivial.
     pairs_all = (
         _bigrams(docs, text_col, [])
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .localCheckpoint(eager=True)
     )
     pairs = pairs_all.filter(F.col("n_pair") >= min_count)
     uni = (
         docs.select(F.explode(F.expr(w)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n_word"))
+        .localCheckpoint(eager=True)
     )
     # totals derive from the vocabulary-sized aggregates (sum of unigram
     # counts = token occurrences; sum of pre-filter pair counts = bigram
-    # occurrences) — re-scanning the corpus for two 1-row counts would
-    # add two full explode passes Catalyst does not dedupe
+    # occurrences) — never from extra corpus scans
     totals = uni.agg(
         F.sum("n_word").cast("long").alias("n_tok")
     ).crossJoin(
