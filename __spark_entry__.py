@@ -470,6 +470,7 @@ _DEMOTED_ORDER = [
     "warc_roundtrip_files", "warc_gzip_roundtrip_files",
     "recrawl_schedule_urls", "robots_policy_urls",
     "pmi_collocations_docs", "crawl_delta_snapshots", "sitemap_locs_hosts",
+    "page_meta_docs",
 ]
 
 
@@ -1144,6 +1145,41 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("host", "loc")
 
     q["sitemap_locs_hosts"] = sitemap_locs_hosts
+
+    def page_meta_docs(spark, sf_dir):
+        # title / meta-description / h1 extraction (page-level naming
+        # evidence complementing anchor text): %3 docs carry a meta
+        # description, %5 an h1, all titles whitespace-padded
+        from deduce_spark.spark.weburl import extract_page_meta
+
+        d = F.col("doc_id")
+        pages = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://w"), (d % 9).cast("string"),
+                     F.lit(".nl/p/"), d.cast("string")).alias("url"),
+            F.concat(
+                F.lit("<html><head><title> Doc  "), d.cast("string"),
+                F.lit(" </title>"),
+                F.when(d % 3 == 0, F.concat(
+                    F.lit('<meta name="description" content="summary '),
+                    (d % 7).cast("string"), F.lit('">')))
+                .otherwise(F.lit("")),
+                F.lit("</head><body>"),
+                F.when(d % 5 == 0, F.concat(
+                    F.lit("<h1>H"), (d % 11).cast("string"),
+                    F.lit("</h1>"))).otherwise(F.lit("")),
+                F.lit("</body></html>"),
+            ).alias("html"),
+        )
+        m = extract_page_meta(pages)
+        return m.select(
+            "url", "title",
+            F.coalesce("meta_description", F.lit("")).alias(
+                "meta_description"
+            ),
+            F.coalesce("h1", F.lit("")).alias("h1"),
+        ).orderBy("url")
+
+    q["page_meta_docs"] = page_meta_docs
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2636,6 +2672,33 @@ def _sitemap_oracle() -> str:
     )
 
 
+def _page_meta_oracle() -> str:
+    from deduce_spark.spark.weburl import extract_page_meta_oracle_sql
+
+    pages = """
+        SELECT 'https://w' || CAST(doc_id % 9 AS VARCHAR)
+                   || '.nl/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html><head><title> Doc  ' || CAST(doc_id AS VARCHAR)
+               || ' </title>'
+               || CASE WHEN doc_id % 3 = 0 THEN
+                      '<meta name="description" content="summary '
+                      || CAST(doc_id % 7 AS VARCHAR) || '">'
+                  ELSE '' END
+               || '</head><body>'
+               || CASE WHEN doc_id % 5 = 0 THEN
+                      '<h1>H' || CAST(doc_id % 11 AS VARCHAR) || '</h1>'
+                  ELSE '' END
+               || '</body></html>' AS html
+        FROM documents
+    """
+    inner = extract_page_meta_oracle_sql(pages)
+    return (
+        "SELECT url, title, COALESCE(meta_description, '') AS "
+        f"meta_description, COALESCE(h1, '') AS h1 FROM ({inner}) "
+        "ORDER BY url"
+    )
+
+
 def _frontier_oracle() -> str:
     from deduce_spark.spark.weburl import frontier_waves_oracle_sql
 
@@ -3483,6 +3546,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "pmi_collocations_docs": _pmi_oracle(),
         "crawl_delta_snapshots": _crawl_delta_oracle(),
         "sitemap_locs_hosts": _sitemap_oracle(),
+        "page_meta_docs": _page_meta_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),

@@ -363,6 +363,76 @@ def anchor_extract_sql(
     """
 
 
+_TITLE_RE = r"(?si)<title[^>]*>([^<]*)</title>"
+_META_DESC_RE = (
+    r"(?si)<meta\s+[^>]*name\s*=\s*[\"']description[\"'][^>]*"
+    r"content\s*=\s*[\"']([^\"']*)[\"']"
+)
+_H1_RE = r"(?si)<h1[^>]*>([^<]*)</h1>"
+
+
+def extract_page_meta(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Extract ``(url, title, meta_description, h1)`` from page HTML —
+    the page-level naming evidence that complements anchor text (a
+    page's title names the THING the page is about; anchors name what
+    OTHERS call it), feeding KG surface-form voting and snippet
+    generation.
+
+    First occurrence wins for each tag (the browser rule); whitespace
+    is collapsed and trimmed; a missing tag yields NULL.  Subset
+    honesty (the href-grammar discipline): plain-text tag contents only
+    (``[^<]*`` — a ``<title>`` holding nested markup is not a real
+    page title) and double- or single-quoted meta content.
+
+    Scale shape: three regexp_extracts over the html column — fully
+    native, zero Python, no shuffle."""
+    html = F.col(html_col).cast("string")
+
+    def clean(rx: str) -> Column:
+        return F.nullif(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(html, rx, 1), r"\s+", " "
+                )
+            ),
+            F.lit(""),
+        )
+
+    return pages.select(
+        F.col(url_col).alias("url"),
+        clean(_TITLE_RE).alias("title"),
+        clean(_META_DESC_RE).alias("meta_description"),
+        clean(_H1_RE).alias("h1"),
+    )
+
+
+def extract_page_meta_oracle_sql(
+    pages_sql: str,
+    html_expr: str = "html",
+    url_expr: str = "url",
+) -> str:
+    """DuckDB twin of :func:`extract_page_meta`."""
+
+    def clean(rx: str) -> str:
+        sql_rx = rx.replace("'", "''")
+        return (
+            "NULLIF(trim(regexp_replace(coalesce(regexp_extract("
+            f"{html_expr}, '{sql_rx}', 1), ''), '\\s+', ' ', 'g')), '')"
+        )
+
+    return f"""
+        SELECT {url_expr} AS url,
+               {clean(_TITLE_RE)} AS title,
+               {clean(_META_DESC_RE)} AS meta_description,
+               {clean(_H1_RE)} AS h1
+        FROM ({pages_sql})
+    """
+
+
 def frontier_waves(
     urls: DataFrame,
     per_host_cap: int,

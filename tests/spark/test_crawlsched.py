@@ -204,6 +204,63 @@ def test_parse_sitemap_oracle_parity(spark):
         ], c
 
 
+META_PAGES = [
+    ("https://a.nl/1",
+     '<html><head><title> My  Page </title>'
+     '<meta name="description" content="Desc here"></head>'
+     '<body><h1>Header</h1><title>second</title></body></html>'),
+    ("https://a.nl/2",
+     "<html><head><META NAME='description' CONTENT='single quoted'>"
+     "<title>T2\nwrapped</title></head></html>"),
+    ("https://a.nl/3", "<html><body>no tags</body></html>"),
+    ("https://a.nl/4",
+     "<html><title>a<b>nested</b></title><h1 class='x'>H</h1></html>"),
+]
+
+
+def test_extract_page_meta(spark):
+    from deduce_spark.spark.weburl import extract_page_meta
+
+    pages = spark.createDataFrame(META_PAGES, "url string, html string")
+    out = {
+        r["url"]: (r["title"], r["meta_description"], r["h1"])
+        for r in extract_page_meta(pages).collect()
+    }
+    assert out == {
+        # first title wins; whitespace collapsed
+        "https://a.nl/1": ("My Page", "Desc here", "Header"),
+        # case-insensitive tag/attr names, single-quoted content,
+        # newline inside title collapsed
+        "https://a.nl/2": ("T2 wrapped", "single quoted", None),
+        "https://a.nl/3": (None, None, None),
+        # nested markup inside <title> rejected; attributed <h1> kept
+        "https://a.nl/4": (None, None, "H"),
+    }
+
+
+def test_extract_page_meta_oracle_parity(spark):
+    from deduce_spark.spark.weburl import (
+        extract_page_meta,
+        extract_page_meta_oracle_sql,
+    )
+
+    pages = spark.createDataFrame(META_PAGES, "url string, html string")
+    got = extract_page_meta(pages).orderBy("url").toPandas()
+    con = duckdb.connect()
+    con.register(
+        "pm_src", pd.DataFrame(META_PAGES, columns=["url", "html"])
+    )
+    want = con.execute(
+        extract_page_meta_oracle_sql("SELECT * FROM pm_src")
+        + " ORDER BY url"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert [x for x in got[c]] == [
+            (None if pd.isna(x) else x) for x in want[c]
+        ], c
+
+
 def test_no_shuffle_no_python(spark, hist_df):
     plan = (
         recrawl_schedule(hist_df)
