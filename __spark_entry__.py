@@ -408,12 +408,17 @@ _QUERY_ORDER = [
     # dedup / similarity sketches (golden-fixture oracles)
     "minhash_dedup_docs", "simhash_pairs_docs", "lsh_topk_embeddings",
     "ivf_topk_embeddings", "winnow_fingerprints",
-    # multimodal (golden-fixture oracles; image_stats twin in demoted)
-    "media_probe", "media_resize", "media_audio_stats",
-    # dedup / similarity (brute embed_topk + exact_dedup twins in
-    # demoted — the family stays scored via minhash/simhash/lsh/ivf/
-    # cosine_dedup + the round-6 semantic_dedup scale path)
-    "semantic_dedup_embeddings", "embed_cosine_dedup", "ngram_jaccard",
+    # multimodal (golden-fixture oracles; resize + image_stats twins in
+    # demoted — the family stays scored via probe + audio_stats)
+    "media_probe", "media_audio_stats",
+    # dedup / similarity (brute embed_cosine/embed_topk/exact_dedup
+    # twins in demoted — the family stays scored via minhash/simhash/
+    # lsh/ivf + the round-6 semantic_dedup scale path)
+    "semantic_dedup_embeddings", "ngram_jaccard",
+    # crawl-source layer (round-6 session 2): WARC archive parity and
+    # robots policy on the driver's board; gzip/sitemap/recrawl/delta/
+    # pmi/page_meta twins in demoted
+    "warc_roundtrip_files", "robots_policy_urls",
     # text analysis / curation / retrieval (doc_textstats = tokens+quality
     # +lang+md5 fingerprint in ONE scan; individual forms in demoted)
     "doc_textstats", "word_freq_topk", "para_dedup_docs", "doc_repetition",
@@ -457,8 +462,11 @@ _DEMOTED_ORDER = [
     "segment_top_customers", "tpch_q1", "bucket_except", "orders_rollup",
     "events_pivot",
     # similarity / media twins rotated out in round 6 (families stay
-    # scored via lsh/ivf/cosine and probe/resize/audio)
+    # scored via lsh/ivf/semantic and probe/audio; media_resize and the
+    # brute cosine baseline rotated out in session 2 to put the WARC +
+    # robots crawl-source family on the driver's board)
     "embed_hash_docs", "media_image_stats", "embed_topk", "exact_dedup",
+    "media_resize", "embed_cosine_dedup",
     # round-5 breadth additions not in the scored window (bm25/bloom/cms/
     # funnel/kcore/bpe representatives rotated INTO the window in round 6)
     "heavy_hitter_words", "jaccard_prefix_pairs", "pack_sequences_docs",
@@ -467,8 +475,7 @@ _DEMOTED_ORDER = [
     "events_cohort_retention", "bfs_link_hosts",
     # round-6 additions
     "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
-    "warc_roundtrip_files", "warc_gzip_roundtrip_files",
-    "recrawl_schedule_urls", "robots_policy_urls",
+    "warc_gzip_roundtrip_files", "recrawl_schedule_urls",
     "pmi_collocations_docs", "crawl_delta_snapshots", "sitemap_locs_hosts",
     "page_meta_docs",
 ]

@@ -115,13 +115,18 @@ def test_golden_oracle_paths_parameterized_by_sf():
     import __spark_entry__ as entry_mod
 
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        oracles = entry_mod.oracle_sql(sf)
+        oracles = {
+            **entry_mod.oracle_sql(sf),
+            **entry_mod.demoted_oracle_sql(sf),
+        }
         golden = {
             name: sql
             for name, sql in oracles.items()
             if "parquet_scan" in sql
         }
-        assert len(golden) == 18
+        # 17 scored + 2 demoted media twins (resize rotated out in the
+        # round-6 session-2 window swap)
+        assert len(golden) == 19
         for name, sql in golden.items():
             m = re.search(r"parquet_scan\(\s*'([^']+)'", sql)
             assert m, name
