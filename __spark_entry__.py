@@ -477,7 +477,7 @@ _DEMOTED_ORDER = [
     "dsir_weights_docs", "frontier_waves_hosts", "boilerplate_clean_hosts",
     "warc_gzip_roundtrip_files", "recrawl_schedule_urls",
     "pmi_collocations_docs", "crawl_delta_snapshots", "sitemap_locs_hosts",
-    "page_meta_docs",
+    "page_meta_docs", "normalize_text_docs", "dedup_best_rep_docs",
 ]
 
 
@@ -1187,6 +1187,44 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("url")
 
     q["page_meta_docs"] = page_meta_docs
+
+    def normalize_text_docs(spark, sf_dir):
+        # unicode normalization before dedup: %4 docs get a decomposed
+        # accent (NFC composes it), %5 docs curly quotes + NBSP (the
+        # fold table); changed flags the rows normalization altered
+        from deduce_spark.spark.normtext import normalize_text
+
+        d = F.col("doc_id")
+        src = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 4 == 0, F.lit(" café"))
+                .otherwise(F.lit("")),
+                F.when(d % 5 == 0,
+                       F.lit(" “q” x"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return normalize_text(src).orderBy("doc_id")
+
+    q["normalize_text_docs"] = normalize_text_docs
+
+    def dedup_best_rep_docs(spark, sf_dir):
+        # quality-aware cluster representatives: highest n_chars wins,
+        # ties fall back to the min-id convention — the keep-the-best
+        # step after any dedup pass
+        from deduce_spark.spark.dedup import select_representatives
+
+        d = F.col("doc_id")
+        docs = _docs(spark, sf_dir)
+        clusters = docs.select("doc_id", (d % 50).alias("canonical_id"))
+        scores = docs.select("doc_id", F.col("n_chars").alias("score"))
+        return select_representatives(clusters, scores).orderBy(
+            "canonical_id"
+        )
+
+    q["dedup_best_rep_docs"] = dedup_best_rep_docs
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2706,6 +2744,32 @@ def _page_meta_oracle() -> str:
     )
 
 
+def _normtext_oracle() -> str:
+    from deduce_spark.spark.normtext import normalize_text_oracle_sql
+
+    src = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' cafe' || chr(769) ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ' || chr(8220) || 'q' || chr(8221)
+                            || chr(160) || 'x'
+                       ELSE '' END AS text
+        FROM documents
+    """
+    return normalize_text_oracle_sql(src) + " ORDER BY doc_id"
+
+
+def _best_rep_oracle() -> str:
+    from deduce_spark.spark.dedup import select_representatives_oracle_sql
+
+    return select_representatives_oracle_sql(
+        "SELECT doc_id, doc_id % 50 AS canonical_id FROM documents",
+        "SELECT doc_id, n_chars AS score FROM documents",
+    ) + " ORDER BY canonical_id"
+
+
 def _frontier_oracle() -> str:
     from deduce_spark.spark.weburl import frontier_waves_oracle_sql
 
@@ -3554,6 +3618,8 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "crawl_delta_snapshots": _crawl_delta_oracle(),
         "sitemap_locs_hosts": _sitemap_oracle(),
         "page_meta_docs": _page_meta_oracle(),
+        "normalize_text_docs": _normtext_oracle(),
+        "dedup_best_rep_docs": _best_rep_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),

@@ -45,6 +45,78 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def select_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "canonical_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware cluster representatives: ``(canonical_id, rep_id,
+    rep_score)`` — the member with the HIGHEST score wins (ties → the
+    lowest doc id, so the choice is deterministic and degrades to the
+    min-id convention when every score ties).
+
+    Min-id canonicals (the minhash/semantic/exact dedup contract) keep
+    an arbitrary member; a training pipeline wants to keep the BEST
+    member of each near-dup cluster (longest, highest LM quality, …).
+    ``clusters`` is any dedup output carrying (id, cluster); ``scores``
+    is (id, score) — e.g. textstats tokens or lmscore ppl (negate
+    costs so higher = better).
+
+    Scale shape: one equi-join on the doc id and one map-combinable
+    ``min(struct(-score, id))`` per cluster — no window, no skew risk
+    beyond the cluster-size caps the dedup ops already enforce."""
+    joined = clusters.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(cluster_col).alias("canonical_id"),
+    ).join(
+        scores.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("long").alias("score"),
+        ),
+        "doc_id",
+    )
+    best = joined.groupBy("canonical_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("neg_score"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "canonical_id",
+        F.col("b.doc_id").alias("rep_id"),
+        (-F.col("b.neg_score")).cast("long").alias("rep_score"),
+    )
+
+
+def select_representatives_oracle_sql(
+    clusters_sql: str,
+    scores_sql: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "canonical_id",
+    score_col: str = "score",
+) -> str:
+    """DuckDB twin of :func:`select_representatives` (same
+    min-of-struct precedence: highest score, then lowest id)."""
+    return f"""
+        SELECT canonical_id,
+               (b).doc_id AS rep_id,
+               (-(b).neg_score)::BIGINT AS rep_score
+        FROM (
+            SELECT c.{cluster_col} AS canonical_id,
+                   min(struct_pack(
+                       neg_score := -CAST(s.{score_col} AS BIGINT),
+                       doc_id := c.{id_col})) AS b
+            FROM ({clusters_sql}) c
+            JOIN ({scores_sql}) s ON c.{id_col} = s.{id_col}
+            GROUP BY c.{cluster_col}
+        )
+    """
+
+
 def _word_shingles(
     text: str, n: int = 3, max_words: int | None = None
 ) -> np.ndarray:

@@ -118,6 +118,27 @@ class TestScheduleCrawl:
             v == {"skipped": True} for v in second["stages"].values()
         )
 
+    def test_crash_restart_recomputes_only_missing_stage(
+        self, spark, inputs, out_dir, first_run
+    ):
+        # crash lost the frontier table after its stage ran: only the
+        # frontier stage reruns; the three upstream stages stay skipped
+        import shutil
+
+        shutil.rmtree(out_dir / "frontier")
+        again = run_job(
+            spark, inputs["cur"], str(out_dir),
+            previous_path=inputs["prev"], robots_path=inputs["robots"],
+            per_host_cap=3,
+        )
+        assert again["stages"]["delta"] == {"skipped": True}
+        assert again["stages"]["policy"] == {"skipped": True}
+        assert again["stages"]["schedule"] == {"skipped": True}
+        assert again["stages"]["frontier"].get("skipped") is not True
+        assert again["stages"]["frontier"]["rows"] == first_run[
+            "stages"
+        ]["frontier"]["rows"]
+
     def test_changed_side_input_rebuilds(self, spark, inputs, out_dir,
                                          first_run, tmp_path_factory):
         # same --input, different --robots: stages must NOT be skipped
