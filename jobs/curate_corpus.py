@@ -8,6 +8,10 @@
 Composes the curation operators into the pipeline an LLM training corpus
 actually flows through, in order:
 
+    normalize (optional, --normalize) unicode normalization — typographic
+              folds + NFC — so byte-variant spellings of the same text
+              dedup as equals; downstream stages consume the normalized
+              form
     stats     textstats_all — tokens/quality/lang/fingerprint, ONE scan
     lm        bigram_lm_score vs a reference slice (CCNet-style quality)
     verdicts  corpus_filter rules + contamination + LM threshold, one
@@ -25,8 +29,8 @@ actually flows through, in order:
               doc -> training-pack assignment
 
 Outputs under --output (Iceberg-layout tables, see icetable.py):
-    doc_stats/  lm_scores/  verdicts/  kept/  [kept_sem/]  packs/
-    _lineage/
+    [normalized/]  doc_stats/  lm_scores/  verdicts/  kept/  [kept_sem/]
+    packs/  _lineage/
 
 Each stage appends a lineage record AFTER its table commits, carrying
 the run input's content fingerprint (count + bit_xor of xxhash64) and
@@ -64,6 +68,7 @@ def run_job(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_words: int = 1_000_000,
+    normalize: bool = False,
     embeddings_path: str | None = None,
     emb_id_col: str = "vec_id",
     semantic_tau: float = 0.35,
@@ -120,6 +125,22 @@ def run_job(
         summary["stages"][name] = {"rows": rows,
                                    "wall_s": round(time.time() - t0, 2)}
         return result
+
+    if normalize:
+        # unicode normalization FIRST so every downstream signal
+        # (fingerprints, shingles, n-grams, LM) sees one canonical byte
+        # form — a composed and a decomposed spelling of the same text
+        # must dedup as equals.  The stage keys on the RAW input
+        # fingerprint like every other stage (normalization is
+        # deterministic), and downstream stages consume norm_text.
+        from deduce_spark.spark.normtext import normalize_text
+
+        normalized = stage(
+            "normalize", lambda: normalize_text(docs), "normalized"
+        )
+        docs = normalized.select(
+            "doc_id", F.col("norm_text").alias("text")
+        )
 
     stats = stage("stats", lambda: textstats_all(docs), "doc_stats")
 
@@ -238,6 +259,10 @@ def main(argv=None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--max-doc-words", type=int, default=1_000_000)
+    p.add_argument("--normalize", action="store_true",
+                   help="prepend a unicode-normalization stage (typographic "
+                        "folds + NFC) so byte-variant spellings dedup as "
+                        "equals")
     p.add_argument("--embeddings", default=None, metavar="PATH",
                    help="optional embeddings parquet keyed like the docs "
                         "(enables the SemDeDup stage after minhash)")
@@ -256,6 +281,7 @@ def main(argv=None) -> int:
             resume=not args.no_resume, seq_len=args.seq_len,
             id_col=args.id_col, text_col=args.text_col,
             max_doc_words=args.max_doc_words,
+            normalize=args.normalize,
             embeddings_path=args.embeddings,
             emb_id_col=args.emb_id_col,
             semantic_tau=args.semantic_tau,

@@ -92,6 +92,39 @@ class TestCurateCorpus:
         assert again["input_fp"] != first_run["input_fp"]
 
 
+class TestNormalizeStage:
+    def test_byte_variant_spellings_fingerprint_equal(
+        self, spark, tmp_path
+    ):
+        # the same text once composed, once decomposed: WITHOUT the
+        # normalize stage their md5 fingerprints differ; WITH it the
+        # doc_stats fingerprints are equal (so exact dedup sees equals)
+        docs = spark.createDataFrame(
+            [(7, "zelfde caf\u00e9 tekst woorden hier"),
+             (14, "zelfde cafe\u0301 tekst woorden hier")],
+            "doc_id long, text string",
+        )
+        src = str(tmp_path / "docs.parquet")
+        docs.write.parquet(src)
+
+        def stats_fps(out):
+            stats = spark.read.parquet(
+                str(sorted((tmp_path / out / "doc_stats" / "data")
+                           .glob("snap-*"))[-1])
+            )
+            return {r["doc_id"]: r["fingerprint"]
+                    for r in stats.collect()}
+
+        run_job(spark, src, str(tmp_path / "raw"))
+        fps = stats_fps("raw")
+        assert fps[7] != fps[14]
+
+        s = run_job(spark, src, str(tmp_path / "norm"), normalize=True)
+        assert "normalize" in s["stages"]
+        fps = stats_fps("norm")
+        assert fps[7] == fps[14]
+
+
 class TestCrawlTableForm:
     def test_url_keyed_input(self, spark, tmp_path):
         # crawl tables key on url: doc ids derive via xxhash64(url) and
