@@ -41,11 +41,17 @@ def pmi_collocations(
     min_count: int = 5,
     top_k: int = 20,
     text_col: str = "text",
+    checkpoint=None,
 ) -> DataFrame:
     """Top-``top_k`` collocations ``(w1, w2, n_pair, pmi_q10)`` among
     bigrams occurring at least ``min_count`` times, ordered by
     ``pmi_q10`` desc then (w1, w2) — the deterministic tie order both
-    engines replay."""
+    engines replay.  ``checkpoint`` selects the lineage-cut strategy
+    (checkpointing.make_checkpointer: None → localCheckpoint, a dir →
+    reliable checkpoint, a callable → custom)."""
+    from deduce_spark.spark.checkpointing import make_checkpointer
+
+    cut = make_checkpointer(checkpoint)
     w = _WORDS.format(col=text_col)
     # Each aggregate feeds multiple consumers (pairs filter + n_big;
     # unigram joins on w1 AND w2 + n_tok) and Spark replays a repeated
@@ -53,18 +59,16 @@ def pmi_collocations(
     # eager lineage cut (the webgraph per-round discipline) bounds the
     # corpus explodes at exactly TWO; both cut tables are
     # vocabulary-sized, so the checkpoint cost is trivial.
-    pairs_all = (
+    pairs_all = cut(
         _bigrams(docs, text_col, [])
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .localCheckpoint(eager=True)
     )
     pairs = pairs_all.filter(F.col("n_pair") >= min_count)
-    uni = (
+    uni = cut(
         docs.select(F.explode(F.expr(w)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n_word"))
-        .localCheckpoint(eager=True)
     )
     # totals derive from the vocabulary-sized aggregates (sum of unigram
     # counts = token occurrences; sum of pre-filter pair counts = bigram

@@ -64,6 +64,13 @@ def select_representatives(
     is (id, score) — e.g. textstats tokens or lmscore ppl (negate
     costs so higher = better).
 
+    NULL scores are excluded from candidacy (a scoreless member cannot
+    be "best"; Spark's struct ordering would otherwise sort the NULL
+    FIRST and crown it, while DuckDB sorts it last — a silent
+    cross-engine divergence).  A cluster whose every member is
+    scoreless is absent from the output; the caller falls back to the
+    min-id canonical it already has.
+
     Scale shape: one equi-join on the doc id and one map-combinable
     ``min(struct(-score, id))`` per cluster — no window, no skew risk
     beyond the cluster-size caps the dedup ops already enforce."""
@@ -74,7 +81,7 @@ def select_representatives(
         scores.select(
             F.col(id_col).alias("doc_id"),
             F.col(score_col).cast("long").alias("score"),
-        ),
+        ).filter(F.col("score").isNotNull()),
         "doc_id",
     )
     best = joined.groupBy("canonical_id").agg(
@@ -100,7 +107,8 @@ def select_representatives_oracle_sql(
     score_col: str = "score",
 ) -> str:
     """DuckDB twin of :func:`select_representatives` (same
-    min-of-struct precedence: highest score, then lowest id)."""
+    min-of-struct precedence: highest score, then lowest id; same
+    NULL-score exclusion)."""
     return f"""
         SELECT canonical_id,
                (b).doc_id AS rep_id,
@@ -112,6 +120,7 @@ def select_representatives_oracle_sql(
                        doc_id := c.{id_col})) AS b
             FROM ({clusters_sql}) c
             JOIN ({scores_sql}) s ON c.{id_col} = s.{id_col}
+            WHERE s.{score_col} IS NOT NULL
             GROUP BY c.{cluster_col}
         )
     """

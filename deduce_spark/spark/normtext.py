@@ -50,16 +50,17 @@ def normalize_text(
     def gen(batches):
         for pdf in batches:
             s = pdf[text_col].astype("object")
-            out = (
-                pd.Series(s, dtype="object")
-                .str.translate(_FOLD_TABLE)
-                .str.normalize("NFC")
-            )
+            out = s.str.translate(_FOLD_TABLE).str.normalize("NFC")
+            # NULL text normalizes to NULL and counts as UNCHANGED —
+            # (out != s) alone evaluates NaN != None as True and would
+            # flag untouched rows (and diverge from the SQL twin's
+            # NULL-comparison semantics)
+            changed = ((out != s) & s.notna()).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "norm_text": out,
-                    "changed": (out != s).astype("int32"),
+                    "changed": changed,
                 }
             )
 
@@ -81,6 +82,6 @@ def normalize_text_oracle_sql(
     return f"""
         SELECT {id_col} AS doc_id,
                {norm} AS norm_text,
-               ({norm} <> {text_col})::INT AS changed
+               COALESCE(({norm} <> {text_col})::INT, 0) AS changed
         FROM ({docs_sql})
     """

@@ -364,11 +364,23 @@ def anchor_extract_sql(
 
 
 _TITLE_RE = r"(?si)<title[^>]*>([^<]*)</title>"
-_META_DESC_RE = (
-    r"(?si)<meta\s+[^>]*name\s*=\s*[\"']description[\"'][^>]*"
-    r"content\s*=\s*[\"']([^\"']*)[\"']"
-)
+# meta description: both attribute orders × both content quote types.
+# Per-quote-type alternatives (the _HREF_RES discipline) keep an
+# apostrophe inside a double-quoted value intact — a mixed class like
+# [\"']([^\"']*)[\"'] would truncate "the world's best" at the
+# apostrophe.  The quote type is anchored right after content= so the
+# wrong-quote variant cannot partially match.
+_NAME_DESC = r"name\s*=\s*[\"']description[\"']"
+_META_DESC_RES = [
+    rf"(?si)<meta\s+[^>]*{_NAME_DESC}[^>]*content\s*=\s*\"([^\"]*)\"",
+    rf"(?si)<meta\s+[^>]*{_NAME_DESC}[^>]*content\s*=\s*'([^']*)'",
+    rf"(?si)<meta\s+[^>]*content\s*=\s*\"([^\"]*)\"[^>]*{_NAME_DESC}",
+    rf"(?si)<meta\s+[^>]*content\s*=\s*'([^']*)'[^>]*{_NAME_DESC}",
+]
 _H1_RE = r"(?si)<h1[^>]*>([^<]*)</h1>"
+# explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+# \s+ here would silently diverge from the DuckDB twin on vertical tabs
+_WS_RUN_RE = r"[ \t\n\r\f]+"
 
 
 def extract_page_meta(
@@ -383,30 +395,36 @@ def extract_page_meta(
     generation.
 
     First occurrence wins for each tag (the browser rule); whitespace
-    is collapsed and trimmed; a missing tag yields NULL.  Subset
-    honesty (the href-grammar discipline): plain-text tag contents only
+    runs collapse to one space (explicit ``[ \\t\\n\\r\\f]`` class —
+    Java's ``\\s`` includes vertical tab where RE2's does not) and the
+    result is trimmed; a missing tag yields NULL.  Meta descriptions
+    match in BOTH attribute orders (name-then-content and
+    content-then-name) and both quoting styles, with apostrophes inside
+    double-quoted values (and vice versa) preserved.  Subset honesty
+    (the href-grammar discipline): plain-text tag contents only
     (``[^<]*`` — a ``<title>`` holding nested markup is not a real
-    page title) and double- or single-quoted meta content.
+    page title), quoted meta content only.
 
-    Scale shape: three regexp_extracts over the html column — fully
-    native, zero Python, no shuffle."""
+    Scale shape: native regexp_extracts over the html column — zero
+    Python, no shuffle."""
     html = F.col(html_col).cast("string")
 
-    def clean(rx: str) -> Column:
+    def collapse(col: Column) -> Column:
         return F.nullif(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_extract(html, rx, 1), r"\s+", " "
-                )
-            ),
-            F.lit(""),
+            F.trim(F.regexp_replace(col, _WS_RUN_RE, " ")), F.lit("")
         )
 
+    meta_raw = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(html, p, 1), F.lit(""))
+            for p in _META_DESC_RES
+        ]
+    )
     return pages.select(
         F.col(url_col).alias("url"),
-        clean(_TITLE_RE).alias("title"),
-        clean(_META_DESC_RE).alias("meta_description"),
-        clean(_H1_RE).alias("h1"),
+        collapse(F.regexp_extract(html, _TITLE_RE, 1)).alias("title"),
+        collapse(meta_raw).alias("meta_description"),
+        collapse(F.regexp_extract(html, _H1_RE, 1)).alias("h1"),
     )
 
 
@@ -415,20 +433,30 @@ def extract_page_meta_oracle_sql(
     html_expr: str = "html",
     url_expr: str = "url",
 ) -> str:
-    """DuckDB twin of :func:`extract_page_meta`."""
+    """DuckDB twin of :func:`extract_page_meta` (same per-quote-type
+    meta alternatives, same explicit whitespace class)."""
 
-    def clean(rx: str) -> str:
+    def extract(rx: str) -> str:
         sql_rx = rx.replace("'", "''")
         return (
-            "NULLIF(trim(regexp_replace(coalesce(regexp_extract("
-            f"{html_expr}, '{sql_rx}', 1), ''), '\\s+', ' ', 'g')), '')"
+            f"NULLIF(coalesce(regexp_extract({html_expr}, '{sql_rx}', 1),"
+            " ''), '')"
         )
 
+    def collapse(expr: str) -> str:
+        return (
+            f"NULLIF(trim(regexp_replace(coalesce({expr}, ''), "
+            f"'{_WS_RUN_RE}', ' ', 'g')), '')"
+        )
+
+    meta_raw = "COALESCE(" + ", ".join(
+        extract(p) for p in _META_DESC_RES
+    ) + ")"
     return f"""
         SELECT {url_expr} AS url,
-               {clean(_TITLE_RE)} AS title,
-               {clean(_META_DESC_RE)} AS meta_description,
-               {clean(_H1_RE)} AS h1
+               {collapse(extract(_TITLE_RE))} AS title,
+               {collapse(meta_raw)} AS meta_description,
+               {collapse(extract(_H1_RE))} AS h1
         FROM ({pages_sql})
     """
 

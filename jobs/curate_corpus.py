@@ -103,7 +103,12 @@ def run_job(
             F.xxhash64(F.col(id_col)).alias("doc_id"),
             F.col(text_col).alias("text"),
         )
-    fp = content_fingerprint(docs, "doc_id", "text")
+    # the normalize flag changes every downstream stage's EFFECTIVE
+    # input, so it must be part of the resume key — toggling it on an
+    # existing output dir rebuilds instead of serving stale tables
+    fp = content_fingerprint(docs, "doc_id", "text") + (
+        "+norm" if normalize else ""
+    )
     summary: dict = {"run_id": run_id, "input_fp": fp, "stages": {}}
 
     def stage(name: str, build, table_name: str, partition_by=()):

@@ -215,6 +215,13 @@ META_PAGES = [
     ("https://a.nl/3", "<html><body>no tags</body></html>"),
     ("https://a.nl/4",
      "<html><title>a<b>nested</b></title><h1 class='x'>H</h1></html>"),
+    # apostrophe inside a double-quoted value survives intact
+    ("https://a.nl/5",
+     '<html><meta name="description" '
+     'content="the world\'s best page"></html>'),
+    # content-before-name attribute order
+    ("https://a.nl/6",
+     '<html><meta content="order reversed" name="description"></html>'),
 ]
 
 
@@ -235,6 +242,8 @@ def test_extract_page_meta(spark):
         "https://a.nl/3": (None, None, None),
         # nested markup inside <title> rejected; attributed <h1> kept
         "https://a.nl/4": (None, None, "H"),
+        "https://a.nl/5": (None, "the world's best page", None),
+        "https://a.nl/6": (None, "order reversed", None),
     }
 
 

@@ -124,6 +124,24 @@ class TestNormalizeStage:
         fps = stats_fps("norm")
         assert fps[7] == fps[14]
 
+    def test_toggling_normalize_rebuilds_downstream(self, spark, tmp_path):
+        # the flag changes every downstream stage's effective input, so
+        # it is part of the resume key: re-running the same input/output
+        # with --normalize must NOT serve the stale raw-text tables
+        docs = spark.createDataFrame(
+            [(7, "w1 w2 w3 w4"), (14, "w5 w6 w7 w8")],
+            "doc_id long, text string",
+        )
+        src = str(tmp_path / "docs.parquet")
+        docs.write.parquet(src)
+        out = str(tmp_path / "out")
+        run_job(spark, src, out)
+        again = run_job(spark, src, out, normalize=True)
+        assert all(
+            v.get("skipped") is not True
+            for v in again["stages"].values()
+        )
+
 
 class TestCrawlTableForm:
     def test_url_keyed_input(self, spark, tmp_path):

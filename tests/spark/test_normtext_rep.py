@@ -40,6 +40,28 @@ def test_normalize_semantics(spark, docs_df):
     assert out[5] == ("\ufb01ne ligature kept", 0)
 
 
+def test_normalize_null_text_unchanged(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "ok")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["norm_text"], r["changed"])
+        for r in normalize_text(docs).collect()
+    }
+    # NULL normalizes to NULL and is NOT flagged as changed (parity
+    # with the SQL twin's NULL-comparison semantics)
+    assert out == {1: (None, 0), 2: ("ok", 0)}
+    con = duckdb.connect()
+    con.register(
+        "n_src", pd.DataFrame({"doc_id": [1, 2], "text": [None, "ok"]})
+    )
+    want = con.execute(
+        normalize_text_oracle_sql("SELECT * FROM n_src")
+        + " ORDER BY doc_id"
+    ).df()
+    assert list(want["changed"]) == [0, 0]
+
+
 def test_normalize_oracle_parity(spark, docs_df):
     got = normalize_text(docs_df).orderBy("doc_id").toPandas()
     con = duckdb.connect()
@@ -71,6 +93,39 @@ def test_representative_best_score_then_min_id(spark):
         20: (4, 7),   # 4 and 5 tie -> min id 4
         30: (6, 1),   # singleton keeps itself
     }
+
+
+def test_representative_null_scores_excluded(spark):
+    # a NULL score must not win (Spark struct ordering would sort the
+    # NULL neg_score first and crown the scoreless doc); an all-NULL
+    # cluster is absent so the caller keeps its min-id canonical
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30)], "doc_id long, canonical_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None)],
+        "doc_id long, score long",
+    )
+    got = {
+        r["canonical_id"]: (r["rep_id"], r["rep_score"])
+        for r in select_representatives(clusters, scores).collect()
+    }
+    assert got == {10: (2, 5)}
+    con = duckdb.connect()
+    con.register(
+        "c2", pd.DataFrame([(1, 10), (2, 10), (3, 30)],
+                           columns=["doc_id", "canonical_id"])
+    )
+    con.register(
+        "s2", pd.DataFrame({"doc_id": [1, 2, 3],
+                            "score": [None, 5, None]})
+    )
+    want = con.execute(
+        select_representatives_oracle_sql(
+            "SELECT * FROM c2", "SELECT * FROM s2"
+        )
+    ).df()
+    assert len(want) == 1 and int(want["rep_id"][0]) == 2
 
 
 def test_representative_oracle_parity(spark):
