@@ -478,6 +478,7 @@ _DEMOTED_ORDER = [
     "warc_gzip_roundtrip_files", "recrawl_schedule_urls",
     "pmi_collocations_docs", "crawl_delta_snapshots", "sitemap_locs_hosts",
     "page_meta_docs", "normalize_text_docs", "dedup_best_rep_docs",
+    "robots_crawl_delays",
 ]
 
 
@@ -1225,6 +1226,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_best_rep_docs"] = dedup_best_rep_docs
+
+    def robots_crawl_delays(spark, sf_dir):
+        # Crawl-delay directive -> exact-millisecond per-(host, agent)
+        # pacing: k%3==1 hosts exercise fractional seconds + a second
+        # agent group, k%3==2 hosts have no '*' group at all
+        from deduce_spark.spark.weburl import crawl_delays
+
+        k = F.col("k")
+        robots = (
+            _docs(spark, sf_dir)
+            .select((F.col("doc_id") % 9).alias("k")).distinct()
+            .select(
+                F.concat(F.lit("src"), k.cast("string"),
+                         F.lit(".nl")).alias("host"),
+                F.when(k % 3 == 0, F.concat(
+                    F.lit("User-agent: *\nCrawl-delay: "),
+                    (k + 1).cast("string"), F.lit("\nDisallow: /p/")))
+                .when(k % 3 == 1, F.concat(
+                    F.lit("User-agent: *\nCrawl-delay: 0."),
+                    k.cast("string"),
+                    F.lit("5\nUser-agent: slow\nCrawl-delay: 9")))
+                .otherwise(F.lit("User-agent: slow\nCrawl-delay: 4"))
+                .alias("robots_txt"),
+            )
+        )
+        return crawl_delays(robots).orderBy("host", "agent")
+
+    q["robots_crawl_delays"] = robots_crawl_delays
 
     def kcore_link_hosts(spark, sf_dir):
         # bounded-round k-core peel of the host link graph (link-farm /
@@ -2770,6 +2799,27 @@ def _best_rep_oracle() -> str:
     ) + " ORDER BY canonical_id"
 
 
+def _crawl_delays_oracle() -> str:
+    from deduce_spark.spark.weburl import crawl_delays_oracle_sql
+
+    nl = "chr(10)"
+    robots = f"""
+        SELECT 'src' || CAST(k AS VARCHAR) || '.nl' AS host,
+               CASE WHEN k % 3 = 0 THEN
+                        'User-agent: *' || {nl} || 'Crawl-delay: '
+                        || CAST(k + 1 AS VARCHAR) || {nl}
+                        || 'Disallow: /p/'
+                    WHEN k % 3 = 1 THEN
+                        'User-agent: *' || {nl} || 'Crawl-delay: 0.'
+                        || CAST(k AS VARCHAR) || '5' || {nl}
+                        || 'User-agent: slow' || {nl} || 'Crawl-delay: 9'
+                    ELSE 'User-agent: slow' || {nl} || 'Crawl-delay: 4'
+               END AS robots_txt
+        FROM (SELECT DISTINCT doc_id % 9 AS k FROM documents)
+    """
+    return crawl_delays_oracle_sql(robots) + " ORDER BY host, agent"
+
+
 def _frontier_oracle() -> str:
     from deduce_spark.spark.weburl import frontier_waves_oracle_sql
 
@@ -3620,6 +3670,7 @@ def _all_oracles(sf: str = "sf0.01") -> dict[str, str]:
         "page_meta_docs": _page_meta_oracle(),
         "normalize_text_docs": _normtext_oracle(),
         "dedup_best_rep_docs": _best_rep_oracle(),
+        "robots_crawl_delays": _crawl_delays_oracle(),
         "cms_word_counts": _cms_oracle(),
         "kcore_link_hosts": _kcore_oracle(),
         "hll_words_by_lang": _hll_by_lang_oracle(),

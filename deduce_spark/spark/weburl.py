@@ -715,6 +715,37 @@ def crawl_delta_oracle_sql(
     """
 
 
+def _robots_lines(
+    robots: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """(host, fkey, ln, line): comment-stripped trimmed lines with a
+    per-BODY key — shared scaffold of :func:`parse_robots` and
+    :func:`crawl_delays`.  Keying on the body hash as well as the host
+    makes duplicate host rows (a robots file refetched in two crawl
+    waves and unioned) parse each body INDEPENDENTLY instead of
+    interleaving their colliding line numbers nondeterministically."""
+    line_no = (F.col("pos") + 1).alias("ln")
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.xxhash64(F.col(body_col)).alias("fkey"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "fkey",
+        line_no,
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+
+
+def _group_window() -> "Window":
+    """MOST-RECENT-preceding-User-agent assignment window (per body)."""
+    return (
+        Window.partitionBy("host", "fkey")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+
 def parse_robots(
     robots: DataFrame,
     host_col: str = "host",
@@ -734,21 +765,8 @@ def parse_robots(
     Scale shape: split + posexplode + regexp — native end to end.  The
     group-assignment window is per (host, body) over one file's LINES;
     the RFC caps robots.txt at 500 KiB, so the window input is bounded
-    by spec, not by data.  Keying the window on the body hash as well
-    as the host makes duplicate host rows (a robots file refetched in
-    two crawl waves and unioned) parse each body INDEPENDENTLY instead
-    of interleaving their colliding line numbers nondeterministically."""
-    line_no = (F.col("pos") + 1).alias("ln")
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.xxhash64(F.col(body_col)).alias("fkey"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
-    ).select(
-        "host",
-        "fkey",
-        line_no,
-        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
-    )
+    by spec, not by data."""
+    lines = _robots_lines(robots, host_col, body_col)
     low = F.lower(F.col("line"))
     tagged = lines.select(
         "host",
@@ -768,11 +786,7 @@ def parse_robots(
         )
         .alias("prefix"),
     )
-    w = (
-        Window.partitionBy("host", "fkey")
-        .orderBy("ln")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    w = _group_window()
     return (
         tagged.select(
             "host",
@@ -783,6 +797,133 @@ def parse_robots(
         .filter(F.col("allow").isNotNull() & (F.col("prefix") != ""))
         .filter(F.col("agent").isNotNull())
     )
+
+
+# Crawl-delay values: integer or decimal seconds with up to 3 fraction
+# digits ("10", "0.5", "2.25"); anything else is dropped as malformed.
+_DELAY_VAL_RE = r"^(\d+)(?:\.(\d{1,3}))?$"
+
+
+def crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse the de-facto ``Crawl-delay`` directive into
+    ``(host, agent, delay_ms)`` — the per-host pacing that scales
+    :func:`frontier_waves` wave spacing (a host with Crawl-delay 10
+    gets one fetch per 10 s, i.e. its wave interval stretches).
+
+    Seconds parse as EXACT integers (integer part × 1000 + the
+    right-padded fraction — no float anywhere, so "0.5" → 500 in both
+    engines bit-for-bit); malformed values are dropped; multiple
+    delays in one (host, agent) group keep the MAXIMUM (the
+    politeness-conservative choice).  Group assignment and the
+    duplicate-host-body discipline follow :func:`parse_robots`."""
+    lines = _robots_lines(robots, host_col, body_col)
+    low = F.lower(F.col("line"))
+    val = F.trim(F.expr("substr(line, 13)"))
+    tagged = lines.select(
+        "host",
+        "fkey",
+        "ln",
+        F.when(
+            low.startswith("user-agent:"),
+            F.lower(F.trim(F.expr("substr(line, 12)"))),
+        ).alias("ua"),
+        F.when(low.startswith("crawl-delay:"), val).alias("raw_delay"),
+    )
+    w = _group_window()
+    delays = (
+        tagged.select(
+            "host",
+            F.last("ua", ignorenulls=True).over(w).alias("agent"),
+            "raw_delay",
+        )
+        .filter(F.col("raw_delay").isNotNull() & F.col("agent").isNotNull())
+        .filter(F.col("raw_delay").rlike(_DELAY_VAL_RE))
+        .select(
+            "host",
+            "agent",
+            (
+                F.regexp_extract("raw_delay", _DELAY_VAL_RE, 1)
+                .cast("long") * 1000
+                + F.rpad(
+                    F.coalesce(
+                        F.nullif(
+                            F.regexp_extract(
+                                "raw_delay", _DELAY_VAL_RE, 2
+                            ),
+                            F.lit(""),
+                        ),
+                        F.lit("0"),
+                    ),
+                    3,
+                    "0",
+                ).cast("long")
+            ).alias("delay_ms"),
+        )
+    )
+    return delays.groupBy("host", "agent").agg(
+        F.max("delay_ms").alias("delay_ms")
+    )
+
+
+def crawl_delays_oracle_sql(
+    robots_sql: str,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> str:
+    """DuckDB twin of :func:`crawl_delays` (same exact-integer
+    millisecond arithmetic, same max-per-group)."""
+    return f"""
+        SELECT host, agent, MAX(delay_ms)::BIGINT AS delay_ms
+        FROM (
+            SELECT host, agent,
+                   CAST(regexp_extract(raw_delay,
+                        '{_DELAY_VAL_RE}', 1) AS BIGINT) * 1000
+                   + CAST(rpad(COALESCE(NULLIF(regexp_extract(raw_delay,
+                        '{_DELAY_VAL_RE}', 2), ''), '0'), 3, '0')
+                        AS BIGINT) AS delay_ms
+            FROM (
+                SELECT host,
+                       LAST_VALUE(ua IGNORE NULLS) OVER (
+                           PARTITION BY host, fkey ORDER BY ln
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW
+                       ) AS agent,
+                       raw_delay
+                FROM (
+                    SELECT host, fkey, ln,
+                           CASE WHEN lower(line) LIKE 'user-agent:%'
+                                THEN lower(trim(substr(line, 12)))
+                           END AS ua,
+                           CASE WHEN lower(line) LIKE 'crawl-delay:%'
+                                THEN trim(substr(line, 13)) END
+                               AS raw_delay
+                    FROM (
+                        SELECT host, md5({body_col}) AS fkey,
+                               pair[2]::BIGINT AS ln,
+                               trim(regexp_replace(pair[1]::VARCHAR,
+                                    '#.*$', '')) AS line
+                        FROM (
+                            SELECT {host_col} AS host, {body_col},
+                                   unnest(list_zip(
+                                       string_split({body_col}, chr(10)),
+                                       generate_series(1,
+                                           len(string_split({body_col},
+                                               chr(10))))
+                                   )) AS pair
+                            FROM ({robots_sql})
+                        )
+                    )
+                )
+                QUALIFY raw_delay IS NOT NULL AND agent IS NOT NULL
+            )
+            WHERE regexp_matches(raw_delay, '{_DELAY_VAL_RE}')
+        )
+        GROUP BY host, agent
+    """
 
 
 # path+query of a url (everything between authority and fragment); the

@@ -155,6 +155,58 @@ def test_robots_oracle_parity_inline(spark, robots_rules):
         assert list(got[c]) == list(want[c]), c
 
 
+DELAY_ROBOTS = [
+    ("a.nl",
+     "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+     "User-agent: slowbot\nCrawl-delay: 0.5\nCrawl-delay: 2.25"),
+    ("b.nl", "User-agent: *\nCrawl-delay: nonsense\nCrawl-delay: 3"),
+    ("c.nl", "Crawl-delay: 7"),  # before any User-agent -> dropped
+]
+
+
+def test_crawl_delays_exact_ms(spark):
+    from deduce_spark.spark.weburl import crawl_delays
+
+    robots = spark.createDataFrame(
+        DELAY_ROBOTS, "host string, robots_txt string"
+    )
+    out = {
+        (r["host"], r["agent"]): r["delay_ms"]
+        for r in crawl_delays(robots).collect()
+    }
+    assert out == {
+        ("a.nl", "*"): 10000,
+        # duplicate delays keep the MAX; fractions are exact integers
+        ("a.nl", "slowbot"): 2250,
+        # malformed value dropped, valid one kept
+        ("b.nl", "*"): 3000,
+    }
+
+
+def test_crawl_delays_oracle_parity(spark):
+    from deduce_spark.spark.weburl import (
+        crawl_delays,
+        crawl_delays_oracle_sql,
+    )
+
+    robots = spark.createDataFrame(
+        DELAY_ROBOTS, "host string, robots_txt string"
+    )
+    got = crawl_delays(robots).orderBy("host", "agent").toPandas()
+    con = duckdb.connect()
+    con.register(
+        "dr_src", pd.DataFrame(DELAY_ROBOTS,
+                               columns=["host", "robots_txt"])
+    )
+    want = con.execute(
+        crawl_delays_oracle_sql("SELECT * FROM dr_src")
+        + " ORDER BY host, agent"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
 SITEMAPS = [
     ("a.nl",
      '<?xml version="1.0"?><urlset>'
