@@ -942,16 +942,22 @@ def robots_allowed(
     prefix wins; on a length tie ``Allow`` beats ``Disallow``; a url
     with no matching rule (or no rules for its host) is allowed.
 
-    ``rules`` is :func:`parse_robots` output; only the group for
-    ``agent`` (exact match after lowercasing) applies.
+    ``rules`` is :func:`parse_robots` output.  Group selection follows
+    RFC 9309 §2.2.1: for each host, if a group for ``agent`` (exact
+    match after lowercasing) exists it applies EXCLUSIVELY; otherwise
+    the host's ``*`` group applies; a host with neither contributes no
+    rules (default allow).  The two groups never combine — a crawler
+    named in its own group must ignore the generic rules.
 
     Scale shape: one equi-join urls⋈rules on host with NO broadcast
     hint — per-host rule sets are spec-bounded tiny, so Catalyst
     broadcasts while small and degrades to a shuffled hash join if a
     rules corpus outgrows the threshold (the webgraph
-    broadcast_tables discipline).  The winner is one map-combinable
-    ``max(struct(prefix_len, allow, prefix))`` per url — struct
-    ordering gives the RFC precedence for free, no window."""
+    broadcast_tables discipline); group selection adds one left_anti
+    on the (distinct-host-sized) named-group host list.  The winner is
+    one map-combinable ``max(struct(prefix_len, allow, prefix))`` per
+    url — struct ordering gives the RFC precedence for free, no
+    window."""
     hosted = urls.select(
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
@@ -962,9 +968,20 @@ def robots_allowed(
             F.lit("/"),
         ).alias("path"),
     )
-    applicable = rules.filter(F.col("agent") == agent.lower()).select(
-        F.col("host").alias("r_host"), "allow", "prefix"
-    )
+    named = rules.filter(F.col("agent") == agent.lower())
+    if agent.lower() == "*":
+        applicable = named.select(
+            F.col("host").alias("r_host"), "allow", "prefix"
+        )
+    else:
+        # RFC 9309 group selection: the named group replaces '*' on
+        # hosts where it exists; hosts without it fall back to '*'
+        fallback = rules.filter(F.col("agent") == "*").join(
+            named.select("host").distinct(), "host", "left_anti"
+        )
+        applicable = named.unionByName(fallback).select(
+            F.col("host").alias("r_host"), "allow", "prefix"
+        )
     matched = hosted.join(
         applicable,
         (hosted["host"] == applicable["r_host"])
@@ -1035,7 +1052,18 @@ def robots_allowed_oracle_sql(
                    allow, prefix
             FROM tagged
             QUALIFY allow IS NOT NULL AND prefix <> ''
-                    AND agent IS NOT NULL AND agent = '{agent_lit}'
+                    AND agent IS NOT NULL
+        ),
+        applicable AS (
+            -- RFC 9309 group selection: the named group replaces '*'
+            -- on hosts where it exists; other hosts fall back to '*'
+            SELECT host, allow, prefix FROM rules
+            WHERE agent = '{agent_lit}'
+            UNION ALL
+            SELECT host, allow, prefix FROM rules
+            WHERE agent = '*' AND '{agent_lit}' <> '*'
+              AND host NOT IN (SELECT DISTINCT host FROM rules
+                               WHERE agent = '{agent_lit}')
         ),
         hosted AS (
             SELECT {url_col} AS url, {host} AS host,
@@ -1049,7 +1077,7 @@ def robots_allowed_oracle_sql(
                        plen := length(prefix),
                        allow := allow,
                        prefix := prefix)) AS w
-            FROM hosted u JOIN rules r
+            FROM hosted u JOIN applicable r
               ON u.host = r.host AND starts_with(u.path, r.prefix)
             GROUP BY url
         )

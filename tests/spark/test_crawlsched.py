@@ -129,6 +129,55 @@ def test_robots_allowed_precedence(spark, robots_rules):
     assert out == EXPECT_ALLOWED
 
 
+def test_robots_group_selection_rfc9309(spark, robots_rules):
+    # RFC 9309 2.2.1: a host's named group REPLACES its '*' group for
+    # that agent (never combines); hosts without the named group fall
+    # back to '*'
+    from deduce_spark.spark.weburl import (
+        robots_allowed,
+        robots_allowed_oracle_sql,
+    )
+
+    urls = spark.createDataFrame(
+        [("https://a.nl/p/2",), ("https://a.nl/other",),
+         ("https://b.nl/q/x",), ("https://c.nl/p/1",)], "url string"
+    )
+    out = {
+        r["url"]: r["allowed"]
+        for r in robots_allowed(
+            urls, robots_rules, agent="badbot"
+        ).collect()
+    }
+    assert out == {
+        # a.nl HAS a badbot group (Disallow /) -> '*'s Allow /p/1 must
+        # NOT rescue anything; everything blocked
+        "https://a.nl/p/2": 0,
+        "https://a.nl/other": 0,
+        # b.nl has no badbot group -> falls back to '*' (tie -> allow)
+        "https://b.nl/q/x": 1,
+        # c.nl's only group IS badbot -> Disallow /
+        "https://c.nl/p/1": 0,
+    }
+    # oracle twin implements the same selection
+    got = robots_allowed(
+        urls, robots_rules, agent="badbot"
+    ).orderBy("url").toPandas()
+    con = duckdb.connect()
+    con.register("u2_src", pd.DataFrame({"url": [u[0] for u in urls.collect()]}))
+    con.register(
+        "r2_src", pd.DataFrame(ROBOTS, columns=["host", "robots_txt"])
+    )
+    want = con.execute(
+        robots_allowed_oracle_sql(
+            "SELECT url FROM u2_src", "SELECT * FROM r2_src",
+            agent="badbot",
+        )
+        + " ORDER BY url"
+    ).df()
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
 def test_robots_oracle_parity_inline(spark, robots_rules):
     from deduce_spark.spark.weburl import (
         robots_allowed,
