@@ -31,6 +31,7 @@ from deduce_spark.spark.kg import (
     _PERM_B,
     connected_components,
 )
+from deduce_spark.spark.parallel import fan_out
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -160,7 +161,14 @@ def minhash_sig(text: str, shingle_words: int = 3) -> list[int]:
     return [int(x) for x in v.min(axis=1)]
 
 
-_MAX_CHUNK_SHINGLES = 1 << 20  # ~64 x 1M x 8B = 512 MB peak per temporary
+# Tile size for the vectorized permute: 64 x 4096 x 8B = 2 MB per
+# temporary, so the multiply/add/mod working set stays cache-resident.
+# The old 1M-shingle chunks streamed ~0.5 GB temporaries through DRAM,
+# which collapses under concurrency (32 parallel workers measured 30x
+# slower per doc than this tile — memory bandwidth, not ALU, was the
+# wall).  Per-doc results are bit-identical for any tile size; a single
+# document longer than the tile still forms one chunk.
+_MAX_CHUNK_SHINGLES = 1 << 12
 
 
 def _batch_minhash_sigs(
@@ -233,7 +241,10 @@ def minhash_signatures(
             )
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=_SIG_SCHEMA)
+    # single-row-group inputs otherwise sign the whole corpus on ONE core
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        run, schema=_SIG_SCHEMA
+    )
 
 
 def minhash_dedup(
@@ -261,8 +272,20 @@ def minhash_dedup(
     sigs = minhash_signatures(
         df, text_col, id_col, shingle_words, max_doc_words
     ).cache()
+    # materialize the cache EAGERLY: the downstream plan scans sigs from
+    # several subtrees (banding, both verify joins), and stages of one job
+    # launch concurrently — with a lazy cache each subtree recomputes the
+    # whole Python signature stage and races to populate the same cache
+    # (the "Block rdd_N already exists" warnings).  One bounded action here
+    # makes every later scan a cache hit.  The operator is already eager
+    # (connected_components runs actions), so this changes no contract.
+    sigs.count()
     rows_per_band = N_HASHES // N_BANDS
-    banded = sigs.select(
+    # cache the banded table: it feeds the hot-bucket count, the anti-join
+    # and BOTH sides of the bucket self-join — without the cache each of
+    # those stages re-evaluates (and re-codegens) the 16-way xxhash64
+    # band projection, which dominates the cold-run wall
+    banded_cached = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -275,12 +298,24 @@ def minhash_dedup(
                 ]
             )
         ).alias("band", "band_key"),
+    ).cache()
+    banded_cached.count()  # eager for the same reason as sigs above
+    banded = banded_cached
+    # map-combinable bucket-size cap: count buckets, keep only the OVER-cap
+    # keys (few by construction: <= n/max_bucket, zero on healthy data) and
+    # anti-join them away.  NOT a window keyed on the raw bucket — a window
+    # materializes each hot bucket on one task (sort included) before
+    # filtering, exactly the straggler the cap exists to prevent; and NOT a
+    # semi-join against the huge under-cap key set — the over-cap side is
+    # the broadcastable one.
+    hot_buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .select("band", "band_key")
     )
-    bucket_w = Window.partitionBy("band", "band_key")
-    banded = (
-        banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("bucket_size") <= max_bucket)
-        .drop("bucket_size")
+    banded = banded.join(
+        F.broadcast(hot_buckets), ["band", "band_key"], "left_anti"
     )
     pairs = (
         banded.alias("l")
@@ -311,6 +346,11 @@ def minhash_dedup(
         .select("a", "b")
     )
     comp = connected_components(est)
+    # comp is materialized (driver union-find or checkpointed star rounds);
+    # the returned frame depends only on it and the input scan, so the
+    # intra-operator caches can be released instead of leaking per call
+    sigs.unpersist(False)
+    banded_cached.unpersist(False)
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("surface_id", "doc_id"), "doc_id", "left")
@@ -328,7 +368,11 @@ _SIMHASH_SCHEMA = T.StructType(
 )
 
 
-_MAX_CHUNK_WORDS = 1 << 20  # 1M x 64 x 8B = 512 MB peak per temporary
+# Cache-resident tile (see _MAX_CHUNK_SHINGLES): 4096 x 64 x 8B = 2 MB
+# per temporary vs the old 512 MB — 20x faster per doc under 32-way
+# worker concurrency (DRAM-bandwidth bound before).  Bit-identical for
+# any tile size.
+_MAX_CHUNK_WORDS = 1 << 12
 
 
 def _batch_simhash(texts: list[str]) -> list[int]:
@@ -391,7 +435,10 @@ def simhash_signatures(
             hashes = _batch_simhash(list(batch[text_col]))
             yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
+    # single-row-group inputs otherwise hash the whole corpus on ONE core
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        run, schema=_SIMHASH_SCHEMA
+    )
 
 
 _BIT_COLS = np.arange(64, dtype=np.uint64)
@@ -430,7 +477,13 @@ def simhash_near_dupes(
     Pigeonhole bucketing by four 16-bit chunks; buckets above ``max_bucket``
     are dropped whole before the self-join (see ``minhash_dedup``) so a hot
     chunk value cannot go quadratic at scale."""
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    # sigs feeds only the chunk explode (the simhash value rides along in
+    # chunks), so the cache worth having is chunks, not sigs
+    sigs = simhash_signatures(df, text_col, id_col)
+    # cached EAGERLY for the same reason as minhash_dedup's banded table:
+    # three downstream subtrees consume it (hot-chunk count, anti-join,
+    # self-join l/r) and would otherwise concurrently recompute the whole
+    # Python simhash stage, racing to populate the cache
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -442,12 +495,18 @@ def simhash_near_dupes(
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
+    ).cache()
+    chunks.count()
+    # map-combinable bucket-size cap (see minhash_dedup): anti-join the few
+    # OVER-cap chunk values away; no window keyed on the raw bucket column
+    hot_buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .select("chunk_idx", "chunk_val")
     )
-    bucket_w = Window.partitionBy("chunk_idx", "chunk_val")
-    chunks = (
-        chunks.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("bucket_size") <= max_bucket)
-        .drop("bucket_size")
+    chunks = chunks.join(
+        F.broadcast(hot_buckets), ["chunk_idx", "chunk_val"], "left_anti"
     )
     cand = (
         chunks.alias("l")
@@ -463,12 +522,15 @@ def simhash_near_dupes(
             F.col("l.simhash").alias("sh_a"),
             F.col("r.simhash").alias("sh_b"),
         )
-        .distinct()
     )
+    # hamming filter BEFORE the distinct: the predicate is a cheap
+    # map-side bit_count, so the dedup shuffle carries only qualifying
+    # pairs instead of every candidate row (guide §2.3)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
 
 

@@ -138,6 +138,9 @@ def candidate_pairs(
     scale.  Banding is native (xxhash64 over sig slices), the verify is a
     higher-order array compare — no extra UDF."""
     rows_per_band = N_HASHES // n_bands
+    # eagerly cached: the hot-bucket count and both self-join sides would
+    # otherwise concurrently recompute the band projection (and, through
+    # it, the Python signature stage) — see dedup.minhash_dedup
     banded = sigs.select(
         "surface_id",
         "type",
@@ -149,13 +152,22 @@ def candidate_pairs(
                 ]
             )
         ).alias("band", "band_key"),
+    ).cache()
+    banded.count()
+    # map-combinable bucket-size cap: count buckets, keep only the OVER-cap
+    # keys (few by construction: <= n/max_bucket, zero on healthy data) and
+    # anti-join them away.  NOT a window keyed on the raw bucket — a window
+    # would materialize each hot bucket (sorted) on a single task before
+    # filtering it, exactly the straggler the cap exists to prevent.
+    hot_buckets = (
+        banded.groupBy("type", "band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .select("type", "band", "band_key")
     )
-    from pyspark.sql import Window
-
-    bucket_w = Window.partitionBy("type", "band", "band_key")
-    banded = banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w)).filter(
-        F.col("bucket_size") <= max_bucket
-    ).drop("bucket_size")
+    banded = banded.join(
+        F.broadcast(hot_buckets), ["type", "band", "band_key"], "left_anti"
+    )
     pairs = (
         banded.alias("l")
         .join(
@@ -871,12 +883,14 @@ def incremental_canonicalize(
     )
     nb = _band_explode(nsigs)
     eb = _band_explode(esigs)
-    bucket_w = Window.partitionBy("type", "band", "band_key")
-    eb = (
-        eb.withColumn("bs", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("bs") <= max_bucket)
-        .drop("bs")
+    # map-combinable bucket cap (see candidate_pairs): no raw-bucket window
+    hot_eb = (
+        eb.groupBy("type", "band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") > max_bucket)
+        .select("type", "band", "band_key")
     )
+    eb = eb.join(F.broadcast(hot_eb), ["type", "band", "band_key"], "left_anti")
     cand = (
         nb.alias("n")
         .join(

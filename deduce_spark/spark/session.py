@@ -46,6 +46,19 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "524288")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.python.worker.reuse", "true")
+        # Use the sort-based shuffle writer even for low reduce-partition
+        # counts (default bypassMergeThreshold=200 picks the bypass writer,
+        # which creates ONE FILE PER REDUCE PARTITION per map task — 64
+        # partitions x 32 map tasks = 2048 file creates per shuffle; thread
+        # dumps showed tasks parked in FileOutputStream.open0, and a 10x
+        # groupBy microbench dropped 11.4s -> 5.0s with the sort writer's
+        # 1 data + 1 index file per map task).  At cluster scale reduce
+        # counts exceed 200 and the sort writer is what runs anyway, so
+        # this only aligns local behavior with production.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "8"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from deduce_spark.spark.parallel import fan_out
+
 N_PLANES = 16
 
 
@@ -41,19 +43,26 @@ def cosine_topk(
 ) -> DataFrame:
     """For every query vector, the k nearest vectors by cosine similarity
     (self-matches excluded).  Queries are broadcast; the big side streams."""
+    # norms are per-row, so compute each ONCE per side instead of once per
+    # (query, neighbor) pair — same expression over the same values, the
+    # per-pair work drops to the dot product alone.  fan_out parallelizes
+    # the interpreted higher-order-function evaluation across cores when
+    # the scan arrives as a single partition.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    )
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+    v = fan_out(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        )
+    ).withColumn("nnorm", _norm(F.col("nvec")))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             _dot(F.col("qvec"), F.col("nvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+            / (F.col("qnorm") * F.col("nnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -158,7 +167,9 @@ def hyperplane_buckets(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(run, schema=_BUCKET_SCHEMA)
+    return fan_out(vectors.select(id_col, vec_col)).mapInPandas(
+        run, schema=_BUCKET_SCHEMA
+    )
 
 
 _ASSIGN_SCHEMA = T.StructType(
@@ -278,7 +289,7 @@ def _ivf_assign(vectors: DataFrame, cents_bc, vec_col: str) -> DataFrame:
                 {"vec_id": batch["vec_id"].astype("int64"), "cid": cid}
             )
 
-    return vectors.select("vec_id", vec_col).mapInPandas(
+    return fan_out(vectors.select("vec_id", vec_col)).mapInPandas(
         run, schema=_ASSIGN_SCHEMA
     )
 
@@ -382,12 +393,23 @@ def lsh_topk(
     distribution — would otherwise emit B² candidate rows.  Vectors in a
     dropped bucket usually still meet in another of the ``n_tables``
     independent tables, so recall degrades gracefully."""
-    buckets = hyperplane_buckets(vectors, id_col, vec_col, dim, n_planes, n_tables)
-    bucket_w = Window.partitionBy("table_idx", "bucket")
-    buckets = (
-        buckets.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("bucket_size") <= max_bucket)
-        .drop("bucket_size")
+    # eagerly cached: the hot-bucket count and both self-join sides would
+    # otherwise concurrently recompute the Python bucketing stage (see
+    # dedup.minhash_dedup)
+    buckets = hyperplane_buckets(
+        vectors, id_col, vec_col, dim, n_planes, n_tables
+    ).cache()
+    buckets.count()
+    # map-combinable bucket-size cap (see dedup.minhash_dedup): anti-join
+    # the few OVER-cap buckets away; no window keyed on the raw bucket
+    hot_buckets = (
+        buckets.groupBy("table_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .select("table_idx", "bucket")
+    )
+    buckets = buckets.join(
+        F.broadcast(hot_buckets), ["table_idx", "bucket"], "left_anti"
     )
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
@@ -531,17 +553,26 @@ def semantic_dedup(
             F.transform("v0", lambda x: x / F.col("nrm")).alias("v"),
         )
     )
-    assigned = _ivf_assign(vnorm, spark.sparkContext.broadcast(cents), "v")
+    # eagerly cached: consumed by the hot-cluster count and the anti-join —
+    # a lazy plan would run the Arrow assignment pass twice concurrently
+    assigned = _ivf_assign(vnorm, spark.sparkContext.broadcast(cents), "v").cache()
+    assigned.count()
     qv = vnorm.select(
         "vec_id",
         F.transform(
             "v", lambda x: F.floor(x * F.lit(float(PAIR_QUANT))).cast("long")
         ).alias("q"),
     )
-    csize_w = Window.partitionBy("cid")
+    # map-combinable cluster-size cap (see dedup.minhash_dedup): anti-join
+    # the few OVER-cap cluster ids away; no window keyed on the raw cid
+    hot_cids = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .filter(F.col("csize") > max_cluster)
+        .select("cid")
+    )
     members = (
-        assigned.withColumn("csize", F.count(F.lit(1)).over(csize_w))
-        .filter(F.col("csize") <= max_cluster)
+        assigned.join(F.broadcast(hot_cids), "cid", "left_anti")
         .join(qv, "vec_id")
         .select("cid", "vec_id", "q")
     )

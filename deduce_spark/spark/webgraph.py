@@ -314,7 +314,7 @@ def label_propagation(
     rounds: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
-    broadcast_tables: bool = True,
+    broadcast_tables: bool = False,
     checkpoint: CheckpointArg = None,
 ) -> DataFrame:
     """(node, label) after ``rounds`` synchronous LPA steps on the
@@ -323,7 +323,14 @@ def label_propagation(
 
     ``broadcast_tables`` controls the join hint on the per-round label
     table (see :func:`_side_hint`); ``checkpoint`` picks the per-round
-    lineage-cut strategy (default eager localCheckpoint)."""
+    lineage-cut strategy (default eager localCheckpoint).
+
+    Unlike kcore/HITS (whose per-round tables shrink or are pure
+    score vectors), LPA re-broadcasts the FULL |V|-row label table every
+    round; the repo's 26.76M-edge A/B (BENCH/BASELINE.md) measured
+    broadcast 95.4 s vs shuffled 33.3 s, so the default here is
+    ``False`` — let Catalyst/AQE pick from runtime sizes; pass ``True``
+    only for small graphs where the label table is a few MB."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     cut = make_checkpointer(checkpoint)
