@@ -272,14 +272,6 @@ def minhash_dedup(
     sigs = minhash_signatures(
         df, text_col, id_col, shingle_words, max_doc_words
     ).cache()
-    # materialize the cache EAGERLY: the downstream plan scans sigs from
-    # several subtrees (banding, both verify joins), and stages of one job
-    # launch concurrently — with a lazy cache each subtree recomputes the
-    # whole Python signature stage and races to populate the same cache
-    # (the "Block rdd_N already exists" warnings).  One bounded action here
-    # makes every later scan a cache hit.  The operator is already eager
-    # (connected_components runs actions), so this changes no contract.
-    sigs.count()
     rows_per_band = N_HASHES // N_BANDS
     # cache the banded table: it feeds the hot-bucket count, the anti-join
     # and BOTH sides of the bucket self-join — without the cache each of
@@ -299,7 +291,15 @@ def minhash_dedup(
             )
         ).alias("band", "band_key"),
     ).cache()
-    banded_cached.count()  # eager for the same reason as sigs above
+    # materialize BOTH caches eagerly with one bounded action (the banded
+    # job scans sigs exactly once, populating its cache on the way): the
+    # downstream plan otherwise scans them from several concurrently
+    # launched subtrees (hot-bucket count, self-join l/r, both verify
+    # joins), each recomputing the whole Python signature stage and racing
+    # to populate the same cache (the "Block rdd_N already exists"
+    # warnings).  The operator is already eager (connected_components runs
+    # actions), so this changes no contract.
+    banded_cached.count()
     banded = banded_cached
     # map-combinable bucket-size cap: count buckets, keep only the OVER-cap
     # keys (few by construction: <= n/max_bucket, zero on healthy data) and

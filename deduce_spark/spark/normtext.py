@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from deduce_spark.spark.parallel import fan_out
+
 # char-for-char typographic folds (must stay char-for-char: both
 # engines' translate() map single codepoints).  Escapes, not
 # literals: an invisible NBSP in source is unreviewable.
@@ -64,7 +66,8 @@ def normalize_text(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    # single-row-group inputs otherwise normalize on ONE core
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
         gen, f"doc_id {id_type}, norm_text string, changed int"
     )
 

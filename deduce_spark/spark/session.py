@@ -59,6 +59,12 @@ def get_spark(
             "spark.shuffle.sort.bypassMergeThreshold",
             os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "8"),
         )
+        # Deeply composed maintenance plans (incremental canonicalize →
+        # compaction chains with nested cached relations) can build
+        # multi-hundred-MB explain strings — the default cap is ~2 GiB and
+        # StringConcat.append OOMed the driver building one for LOGGING.
+        # 8M chars is far beyond what anyone reads and bounds the cost.
+        .config("spark.sql.maxPlanStringLength", "8000000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from deduce_spark.spark.parallel import fan_out
+
 # a regex in the BPE-pretokenizer family (GPT-2 style, simplified to the
 # RE2-compatible subset so Spark and DuckDB agree): word pieces, numbers,
 # punctuation runs
@@ -182,7 +184,10 @@ def winnowing_fingerprint(
                 prints.append(winnow_doc(text, k, window))
             yield pd.DataFrame({"doc_id": ids, "winnow": prints})
 
-    return df.select("doc_id", text_col).mapInPandas(run, schema=_WINNOW_SCHEMA)
+    # single-row-group inputs otherwise fingerprint on ONE core
+    return fan_out(df.select("doc_id", text_col)).mapInPandas(
+        run, schema=_WINNOW_SCHEMA
+    )
 
 
 _HASH_BASE = 1000003
@@ -456,7 +461,7 @@ def exact_substr_dup(
                 )
 
         sel = (
-            df.select(F.col(id_col).alias("doc_id"), text_col)
+            fan_out(df.select(F.col(id_col).alias("doc_id"), text_col))
             .mapInPandas(run, schema=_SUBSTR_SEL_SCHEMA)
         )
         # Single-evaluation tail (the md5 form keeps the generic
