@@ -4,11 +4,19 @@ A parquet fixture written as one row group yields a ONE-partition scan no
 matter how small ``spark.sql.files.maxPartitionBytes`` is (row groups do
 not split), so an Arrow/pandas UDF or higher-order-function compute stage
 fed straight from such a scan runs on a single core.  ``fan_out`` inserts
-a repartition ONLY when the input arrives in fewer partitions than the
-session can use; at production scale the input already has more
-partitions than the target and the helper is a provable no-op — the
-guard keeps it from ADDING a shuffle where data is already spread
-(optimization guide §2.4: remove shuffles, don't introduce them).
+a repartition ONLY when the input is small; at production scale the
+input exceeds the size gate and the helper is a provable no-op — the
+guard keeps it from ADDING a shuffle where the scan already provides
+parallelism (optimization guide §2.4: remove shuffles, don't introduce
+them).
+
+The decision uses the optimizer's size ESTIMATE (``optimizedPlan().
+stats().sizeInBytes``), which costs ~50 ms of analysis — NOT
+``df.rdd.getNumPartitions()``, which runs full physical planning plus an
+RDD conversion and measured ~0.9 s per fresh plan, a real tax on every
+operator that calls this once per query.  For a sub-``max_bytes`` input
+the repartition shuffle itself is ~0.1 s, so fanning out even an input
+that already has enough partitions is cheaper than probing precisely.
 
 The shuffled bytes are the narrow projection the compute stage needs
 (id + text / id + vector), not the full row — callers project first.
@@ -20,9 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def fan_out(df: DataFrame, key: str | None = None, waves: int = 2) -> DataFrame:
-    """Repartition ``df`` to ``waves`` task waves per core when it has
-    fewer partitions than that target; otherwise return it unchanged.
+def fan_out(
+    df: DataFrame,
+    key: str | None = None,
+    waves: int = 2,
+    max_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Repartition ``df`` to ``waves`` task waves per core when its
+    estimated size is below ``max_bytes``; return it unchanged otherwise
+    (including when no estimate is available — the safe direction at
+    scale).
 
     Default is ROUND-ROBIN repartition: it spreads both row count and
     bytes evenly (hash-partitioning on an id can correlate with payload
@@ -35,10 +50,24 @@ def fan_out(df: DataFrame, key: str | None = None, waves: int = 2) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = max(sc.defaultParallelism, 1) * waves
     try:
-        n = df.rdd.getNumPartitions()
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
     except Exception:  # pragma: no cover - planning quirks never fatal
         return df
-    if n >= target:
+    if 0 <= size <= max_bytes:
+        pass  # provably small: fan out
+    elif size == (1 << 63) - 1:
+        # stats unknown (Long.MaxValue, e.g. a local relation behind a
+        # coalesce): fall back to the partition-count probe — pays the
+        # physical-planning cost, but only on statless inputs, which real
+        # scans and cached relations never are
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:  # pragma: no cover
+            return df
+    else:
         return df
     if key is not None:
         return df.repartition(target, F.col(key))

@@ -52,13 +52,13 @@ class TestFanOut:
         # fan-out only moves rows
         assert sorted(r["doc_id"] for r in out.collect()) == list(range(100))
 
-    def test_noop_when_already_spread(self, spark):
+    def test_noop_above_size_gate(self, spark):
+        # an input estimated above max_bytes must come back UNCHANGED —
+        # this is the at-scale path where adding a shuffle is forbidden
         from deduce_spark.spark.parallel import fan_out
 
-        target = spark.sparkContext.defaultParallelism * 2
-        df = spark.range(1000).repartition(target + 7)
-        out = fan_out(df)
-        assert out.rdd.getNumPartitions() == target + 7
+        df = spark.range(1000).selectExpr("id as doc_id", "repeat('x', 10) as text")
+        out = fan_out(df, max_bytes=1)
         assert out is df  # unchanged plan, no added exchange
 
 
