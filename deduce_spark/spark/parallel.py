@@ -31,13 +31,19 @@ from pyspark.sql import functions as F
 def fan_out(
     df: DataFrame,
     key: str | None = None,
-    waves: int = 2,
+    waves: int = 1,
     max_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Repartition ``df`` to ``waves`` task waves per core when its
-    estimated size is below ``max_bytes``; return it unchanged otherwise
-    (including when no estimate is available — the safe direction at
-    scale).
+    estimated size is below ``max_bytes``; return it unchanged otherwise.
+
+    One wave (the default) measures best for these sub-GB inputs: every
+    extra task pays a fixed Python round-trip (~0.25 s of arrow stream
+    setup + scheduling), which outweighs tail-packing benefits when a
+    task's compute is tens of milliseconds (A/B: minhash 6.8-7.5 s at 1
+    wave vs 7.6-8.3 s at 2, simhash likewise).  At production scale the
+    size gate makes this a no-op, so the knob only affects small inputs
+    where overhead dominates.
 
     Default is ROUND-ROBIN repartition: it spreads both row count and
     bytes evenly (hash-partitioning on an id can correlate with payload

@@ -47,7 +47,7 @@ class TestFanOut:
             [(i, f"t{i}") for i in range(100)], ["doc_id", "text"]
         ).coalesce(1)
         out = fan_out(df)
-        target = spark.sparkContext.defaultParallelism * 2
+        target = spark.sparkContext.defaultParallelism  # one wave per core
         assert out.rdd.getNumPartitions() == target
         # fan-out only moves rows
         assert sorted(r["doc_id"] for r in out.collect()) == list(range(100))
