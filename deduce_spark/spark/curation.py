@@ -320,17 +320,29 @@ def corpus_filter(
       keep        otherwise
 
     Scale shape: repetition signals are per-row expressions + one
-    groupBy(doc); the duplicate rule is one window over md5(text) — the
-    same map-side-combinable shuffles as exact_dedup, no new pattern."""
+    groupBy(doc); the duplicate rule is a map-side-combinable
+    min-per-md5(text) aggregate joined back — the same shuffles as
+    exact_dedup, no per-group window materialization."""
     from deduce_spark.spark.textstats import repetition_stats
 
     rep = repetition_stats(
         docs.select(id_col, text_col), text_col, id_col=id_col
     )
-    dup_w = Window.partitionBy(F.md5(F.col(text_col)))
-    dup = docs.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(id_col) > F.min(id_col).over(dup_w)).alias("is_dup"),
+    # duplicate rule via map-combinable min + equi-join, NOT a window over
+    # md5(text): WindowExec materializes (and sorts) each hash group on one
+    # task, so a pathological 100M-copies-of-one-page corpus hot-spots a
+    # single straggler; the aggregate is partial-combined map-side and the
+    # join probe streams (AQE skew-split eligible).  md5 is coalesced to ''
+    # (never a real 32-hex digest) so NULL texts stay one group, exactly
+    # as PARTITION BY groups them.  Same is_dup verdicts bit-for-bit.
+    doc_h = F.coalesce(F.md5(F.col(text_col)), F.lit(""))
+    dup_min = docs.groupBy(doc_h.alias("_h")).agg(
+        F.min(id_col).alias("_min_id")
+    )
+    dup = (
+        docs.select(F.col(id_col).alias("doc_id"), doc_h.alias("_h"))
+        .join(dup_min, "_h")
+        .select("doc_id", (F.col("doc_id") > F.col("_min_id")).alias("is_dup"))
     )
     return (
         rep.join(dup, "doc_id")

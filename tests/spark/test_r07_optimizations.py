@@ -123,3 +123,42 @@ class TestLpaDefaultPlan:
             ).collect()
         )
         assert a == b
+
+
+class TestCorpusFilterDupRule:
+    """The duplicate rule is a min-per-md5 aggregate + equi-join now, not
+    a Window over md5(text): a window materializes each identical-text
+    group (sorted) on one task — the exact straggler a 100M-copy
+    boilerplate page creates at crawl scale."""
+
+    def test_plan_has_no_window(self, spark):
+        from deduce_spark.spark.curation import corpus_filter
+
+        df = spark.createDataFrame(
+            [(i, f"some document text number {i} " * 10) for i in range(20)],
+            ["doc_id", "text"],
+        )
+        plan = (
+            corpus_filter(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+
+    def test_duplicate_and_null_text_verdicts(self, spark):
+        from deduce_spark.spark.curation import corpus_filter
+
+        body = "unique words " + " ".join(f"w{i}" for i in range(30))
+        rows = [(1, body), (2, body), (3, body + " extra"), (4, None), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["verdict"], r["is_dup"] if "is_dup" in r else None)
+            for r in corpus_filter(df).collect()
+        }
+        # identical texts: smallest id is the keeper, later ids duplicates
+        assert out[1][0] == "keep"
+        assert out[2][0] == "duplicate"
+        assert out[3][0] == "keep"
+        # NULL-text docs are dropped by the repetition_stats inner join —
+        # the pre-rewrite window implementation behaved identically
+        # (verified side by side); the null-coalesced join key only keeps
+        # the dup-rule side consistent with PARTITION BY's null grouping
+        assert 4 not in out and 5 not in out
