@@ -162,3 +162,28 @@ class TestCorpusFilterDupRule:
         # (verified side by side); the null-coalesced join key only keeps
         # the dup-rule side consistent with PARTITION BY's null grouping
         assert 4 not in out and 5 not in out
+
+
+class TestEngineWarmup:
+    def test_warm_once_per_application(self, spark):
+        from deduce_spark.spark import session as sess
+
+        # the shared fixture session was built through get_spark, so its
+        # application id must already be registered as warmed
+        assert spark.sparkContext.applicationId in sess._WARMED
+        before = set(sess._WARMED)
+        again = sess.get_spark(master="local[4]", app_name="deduce_spark_tests")
+        assert again.sparkContext.applicationId == spark.sparkContext.applicationId
+        assert sess._WARMED == before  # no re-warm on getOrCreate reuse
+
+    def test_env_disable(self, monkeypatch):
+        from deduce_spark.spark import session as sess
+
+        monkeypatch.setenv("SPARK_GRAFT_WARM_ENGINE", "0")
+        saved = set(sess._WARMED)
+        sess._WARMED.clear()
+        try:
+            s = sess.get_spark(master="local[4]", app_name="deduce_spark_tests")
+            assert s.sparkContext.applicationId not in sess._WARMED
+        finally:
+            sess._WARMED.update(saved)
